@@ -1,0 +1,359 @@
+"""Micro-batch crawl driver loop (SURVEY.md §2.8 T1-T5).
+
+The reference's while-loop (crawler/worker.py:20-34: pop → fetch →
+scrape → enqueue → mark-done) becomes an iterative batch dataflow:
+
+    repeat:
+      batch   = politeness_schedule(PENDING)          # scheduler.py
+      fetched = broadcast(batch) ⋈ page_store          # J2 fetch join
+      gated   = JVM filters: status/null/length        # F5-F7, pre-UDF
+      parsed  = parse_pages(gated)                     # ONE Arrow UDF pass
+      links   = posexplode → normalize → is_valid      # P1, F1-F4, JVM
+      new     = dedup(links) → bloom prefilter →       # F8/J1
+                exact anti-join vs seen → assign seq
+      commit: append discovered+completed+crawled+metrics,
+              then the batch marker (atomic)           # T4 checkpoint
+
+Plan-shape invariants (checked in tests via .explain):
+- the batch side of the fetch join is broadcast (batch ≪ pages);
+- status/length gates run BEFORE parse_pages (UDFs are planning
+  barriers — a filter written after mapInPandas would not be
+  hoisted above it, so the composition order here is load-bearing);
+- the only Python crossings per iteration are parse_pages and the
+  optional bloom probe.
+
+Ordering contract: ``strict_lifo=True`` schedules one URL per batch
+(max seq first) — byte-for-byte the reference's single-threaded
+LIFO crawl order (threads_count=1 ships in config.ini:19).  Batched
+mode preserves the URL-seen SET exactly (set-closure is
+order-independent) and keeps seq-DESC order within each batch.
+
+Resume (T4): state lives in the FrontierStore's committed logs — a
+new CrawlEngine on the same state_dir continues from the last
+committed batch with an identical seen-set and order; a batch whose
+marker is missing is invisible (exactly-once).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.frontier.bloom import build_bloom, with_might_contain
+from spacetime_crawler4py_spark.frontier.scheduler import next_batch
+from spacetime_crawler4py_spark.frontier.store import FrontierStore
+from spacetime_crawler4py_spark.functions.urlnorm import (
+    col_defragment,
+    col_netloc,
+    col_normalize,
+    col_urlhash,
+)
+from spacetime_crawler4py_spark.functions.validity import col_is_valid
+from spacetime_crawler4py_spark.operators.parse import parse_pages
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        pages_path: str,
+        status_path: str | None,
+        seeds: list[str],
+        strict_lifo: bool = False,
+        window_ms: int = 32_000,
+        delay_ms: int = 500,
+        use_bloom: bool = True,
+        bloom_refresh_batches: int = 8,
+        strict_reference_parity: bool = True,
+    ):
+        self.spark = spark
+        self.store = FrontierStore(spark, state_dir)
+        self.state_dir = state_dir
+        self.seeds = seeds
+        self.strict = strict_lifo
+        self.window_ms = window_ms
+        self.delay_ms = delay_ms
+        self.use_bloom = use_bloom and not strict_lifo
+        self.bloom_refresh = bloom_refresh_batches
+        self.parity = strict_reference_parity
+        self._bloom = None
+        self._bloom_age = 0
+
+        pages = spark.read.parquet(pages_path)
+        if status_path and os.path.exists(status_path):
+            status = spark.read.parquet(status_path)
+        else:
+            status = pages.select("url").withColumn("status", F.lit(200)).withColumn(
+                "error", F.lit(None).cast("string")
+            )
+        # page store: canonical url → content + status; text_len is a
+        # JVM expression over the invariant text column (scraper.py:78
+        # gate without parsing).  Cached — it is the fetch join's big
+        # side every iteration.
+        self.page_store = (
+            pages.join(status.select("url", "status"), "url", "left")
+            .na.fill({"status": 200})
+            .select(
+                F.col("url").alias("page_url"),
+                "html",
+                "text",
+                F.length("text").alias("text_len"),
+                "status",
+            )
+            .cache()
+        )
+        self.page_store.count()
+
+    # ------------------------------------------------------------------
+
+    def _bootstrap(self) -> None:
+        """Seed the frontier (crawler/frontier.py:28-36) if empty."""
+        if self.store.last_batch_id() >= 0:
+            return
+        rows = []
+        from spacetime_crawler4py_spark.functions.urlnorm import (
+            py_normalize,
+            py_urlhash,
+        )
+        import datetime as dt
+
+        seen = set()
+        seq = 0
+        for u in self.seeds:
+            nu = py_normalize(u)
+            h = py_urlhash(nu)
+            if h in seen:
+                continue
+            seen.add(h)
+            rows.append((h, nu, None, seq, 0, dt.datetime.now(), -0, None))
+            seq += 1
+        df = self.spark.createDataFrame(
+            [(r[0], r[1], r[3], r[4]) for r in rows],
+            "url_hash string, url string, seq long, depth int",
+        ).select(
+            "url_hash",
+            "url",
+            col_netloc(F.col("url")).alias("host"),
+            "seq",
+            "depth",
+            F.current_timestamp().alias("discovered_ts"),
+            F.lit(0).cast("long").alias("batch_id"),
+        )
+        self.store.append_discovered(df)
+        self.store.commit(0, {"kind": "bootstrap", "n_seeds": len(rows)})
+
+    # ------------------------------------------------------------------
+
+    def run_batch(self, batch_id: int) -> dict:
+        t0 = time.time()
+        pending = self.store.pending()
+        if self.strict:
+            batch = (
+                pending.orderBy(F.desc("seq"))
+                .limit(1)
+                .withColumn("fetch_order", F.lit(0))
+            )
+        else:
+            batch = next_batch(
+                pending, window_ms=self.window_ms, delay_ms=self.delay_ms
+            )
+        batch = batch.select(
+            "url_hash", "url", "host", "seq", "depth", "fetch_order"
+        ).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return {"n_batch": 0}
+
+        # ---- fetch join (J2): broadcast the small batch side
+        b = F.broadcast(batch.withColumn("_fetch_key", col_defragment(F.col("url"))))
+        fetched = b.join(
+            self.page_store, b["_fetch_key"] == self.page_store["page_url"], "left"
+        ).drop("_fetch_key", "page_url")
+
+        # ---- JVM gates BEFORE the parse UDF (F5, F6, F7)
+        gated = fetched.where(
+            F.col("status").isNotNull()
+            & (F.col("status") < 400)
+            & ~F.col("status").isin(204, 305)
+            & F.col("html").isNotNull()
+            & (F.col("text_len") >= 500)
+            & (F.col("text_len") <= 100_000)
+        )
+
+        # ---- one Arrow pass: links + analytics features
+        parsed = parse_pages(
+            gated.select(
+                "url_hash", "url", "host", "seq", "depth", "fetch_order",
+                "status", "html",
+            )
+        ).where(F.size("links") > 0)
+        parsed = parsed.cache()
+
+        # ---- crawled-pages sink (analytics input; replaces the four
+        # per-page file rewrites, scraper.py:156-272)
+        (
+            parsed.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "fetch_order",
+                "url",
+                col_defragment(F.col("url")).alias("url_defrag"),
+                "host",
+                "depth",
+                "status",
+                "text_len",
+                "wc",
+                "n_unique_anchors",
+                "tokens_report",
+            ).write.mode("append").parquet(os.path.join(self.state_dir, "crawled_pages"))
+        )
+
+        # ---- crawl-order log (golden: Logs/Worker.log "Downloaded" lines)
+        (
+            batch.select(
+                F.lit(batch_id).cast("long").alias("batch_id"), "fetch_order", "url"
+            ).write.mode("append").parquet(os.path.join(self.state_dir, "crawl_order"))
+        )
+
+        # ---- link pipeline: P1 normalize → F1-F4 validity → P2 hash
+        links = (
+            parsed.select(
+                "fetch_order",
+                F.posexplode("links").alias("pos", "link"),
+            )
+            .where(F.col("link").isNotNull())
+            .withColumn("url", col_normalize(F.col("link")))
+            .where(col_is_valid(F.col("url"), self.parity))
+            .withColumn("url_hash", col_urlhash(F.col("url")))
+        )
+
+        # within-batch dedup: first occurrence wins (reference add-order)
+        w_first = Window.partitionBy("url_hash").orderBy("fetch_order", "pos")
+        candidates = (
+            links.withColumn("_rn", F.row_number().over(w_first))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "link")
+        )
+
+        # ---- seen-set dedup (F8/J1): bloom fast path + exact anti-join.
+        # Invariant: the bloom always holds EVERY discovered hash
+        # (it is updated synchronously with each commit below), so
+        # "definitely new" rows skip the anti-join entirely and only
+        # bloom false-positives pay the join probe — the final seen
+        # set equals the reference's exactly (no false negatives).
+        seen = self.store.seen_hashes()
+        if self.use_bloom:
+            if self._bloom is None or self._bloom_age >= self.bloom_refresh:
+                # periodic rebuild re-sizes the filter as the
+                # frontier grows (keeps fpp bounded)
+                self._bloom = build_bloom(seen)
+                self._bloom_age = 0
+            probed = with_might_contain(candidates, self._bloom, self.spark)
+            fresh = probed.where(~F.col("might_be_seen")).drop("might_be_seen")
+            maybe = probed.where(F.col("might_be_seen")).drop("might_be_seen")
+            new = fresh.unionByName(maybe.join(seen, "url_hash", "left_anti"))
+        else:
+            new = candidates.join(seen, "url_hash", "left_anti")
+
+        # ---- seq assignment: base + rank in (fetch_order, pos) order
+        base = self.store.max_seq()
+        w_seq = Window.orderBy("fetch_order", "pos")
+        new_rows = (
+            new.withColumn("seq", F.lit(base) + F.row_number().over(w_seq))
+            .select(
+                "url_hash",
+                "url",
+                col_netloc(F.col("url")).alias("host"),
+                "seq",
+                F.lit(None).cast("int").alias("depth"),
+                F.current_timestamp().alias("discovered_ts"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        new_rows = new_rows.cache()
+        n_new = new_rows.count()
+        if n_new:
+            self.store.append_discovered(new_rows)
+            if self.use_bloom and self._bloom is not None:
+                # keep the broadcast bloom exactly in sync with the
+                # discovered log (sandbox: collect the batch's new
+                # hashes — politeness-bounded; at cluster scale this
+                # is a distributed partial-bloom build + OR-merge,
+                # same as build_bloom)
+                import pandas as pd
+
+                hashes = pd.Series(
+                    [r["url_hash"] for r in new_rows.select("url_hash").collect()]
+                )
+                self._bloom.add_series(hashes)
+                self._bloom_age += 1
+
+        # ---- completions (T5: idempotent flips)
+        self.store.append_completed(
+            batch.select("url_hash", F.lit(batch_id).cast("long").alias("batch_id"))
+        )
+
+        wall_ms = int((time.time() - t0) * 1000)
+        meta = {
+            "n_batch": n_batch,
+            "n_new": n_new,
+            "wall_ms": wall_ms,
+        }
+        # ---- per-batch metrics/lineage row (north_rule)
+        self.spark.createDataFrame(
+            [(batch_id, n_batch, n_new, wall_ms)],
+            "batch_id long, n_fetched long, n_new_urls long, wall_ms long",
+        ).write.mode("append").parquet(os.path.join(self.state_dir, "metrics"))
+
+        self.store.commit(batch_id, meta)
+        parsed.unpersist()
+        batch.unpersist()
+        new_rows.unpersist()
+        return meta
+
+    # ------------------------------------------------------------------
+
+    def run(self, max_batches: int | None = None) -> int:
+        """Crawl until the frontier drains (T3). Returns #batches run."""
+        self._bootstrap()
+        batch_id = self.store.last_batch_id()
+        n = 0
+        while True:
+            if max_batches is not None and n >= max_batches:
+                break
+            batch_id += 1
+            meta = self.run_batch(batch_id)
+            if meta["n_batch"] == 0:
+                break
+            n += 1
+        return n
+
+    # ------------------------------------------------------------------
+
+    def crawl_order(self) -> list[str]:
+        path = os.path.join(self.state_dir, "crawl_order")
+        if not os.path.exists(path):
+            return []
+        committed = self.store.last_batch_id()
+        return [
+            r["url"]
+            for r in self.spark.read.parquet(path)
+            .where(F.col("batch_id") <= committed)
+            .orderBy("batch_id", "fetch_order")
+            .collect()
+        ]
+
+    def seen_set(self) -> set[str]:
+        return {
+            r["url_hash"] for r in self.store.discovered().select("url_hash").collect()
+        }
+
+    def crawled_pages(self) -> DataFrame:
+        committed = self.store.last_batch_id()
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, "crawled_pages")
+        ).where(F.col("batch_id") <= committed)

@@ -1,0 +1,78 @@
+"""Politeness-aware batch scheduler with the LIFO ordering contract.
+
+Reference semantics being reproduced (SURVEY.md §2.6 O8, §2.8 T2):
+
+- Crawl order: the frontier is a LIFO stack — ``to_be_downloaded
+  .pop()`` pops the highest-seq entry (crawler/frontier.py:50-54,62;
+  evidenced by the crawl log starting at the LAST seed).  Our
+  contract: within a scheduled batch, fetch order is ``seq DESC``;
+  in strict mode (batch_size=1) this IS the reference's exact
+  single-threaded order.
+- Politeness: 500 ms per-host delay (config.ini:12,
+  crawler/worker.py:34).  A micro-batch spanning ``window_ms`` may
+  contain at most ``window_ms // delay_ms`` URLs per host.
+
+Skew handling (north_rule: "salted-hash partitioning by registrable
+domain to avoid hot-host skew"): the per-host top-k is a window over
+``host`` — the one groupBy key that IS skewed (one host carried 34%
+of the reference crawl).  The window input is therefore pre-limited:
+rows are first cut to the per-host cap via a two-level rank
+(salted sub-key rank, then exact rank over survivors), so the
+shuffle for the hot host moves O(cap × n_salts) rows instead of its
+full backlog.  Politeness caps make per-batch row counts small; the
+salting matters when a 10^10 frontier has 10^7 pending rows on one
+host and we must not shuffle them all to one task every batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_DELAY_MS = 500  # config.ini:12
+
+
+def per_host_cap(window_ms: int, delay_ms: int = DEFAULT_DELAY_MS) -> int:
+    return max(1, window_ms // delay_ms)
+
+
+def next_batch(
+    pending: DataFrame,
+    window_ms: int = 32_000,
+    delay_ms: int = DEFAULT_DELAY_MS,
+    max_urls: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Select the next politeness-legal micro-batch, LIFO-ordered.
+
+    Returns pending columns + ``fetch_order`` (0-based position in
+    the batch; the politeness scheduler's time axis).
+    """
+    cap = per_host_cap(window_ms, delay_ms)
+
+    # Stage 1 (salted pre-cut): rank within (host, salt) shards —
+    # the hot host's backlog is cut to cap rows per shard before the
+    # exact per-host window sees it.
+    salt = F.pmod(F.xxhash64("url_hash"), F.lit(n_salts))
+    pre = (
+        pending.withColumn("_shard_rank", F.row_number().over(
+            Window.partitionBy("host", salt).orderBy(F.desc("seq"))
+        ))
+        .where(F.col("_shard_rank") <= cap)
+        .drop("_shard_rank")
+    )
+
+    # Stage 2 (exact per-host cap): ≤ cap × n_salts rows per host now.
+    w_host = Window.partitionBy("host").orderBy(F.desc("seq"))
+    capped = (
+        pre.withColumn("_host_rank", F.row_number().over(w_host))
+        .where(F.col("_host_rank") <= cap)
+        .drop("_host_rank")
+    )
+
+    # Stage 3 (LIFO order contract): global seq DESC.
+    w_all = Window.orderBy(F.desc("seq"))
+    batch = capped.withColumn("fetch_order", F.row_number().over(w_all) - 1)
+    if max_urls is not None:
+        batch = batch.where(F.col("fetch_order") < max_urls)
+    return batch
