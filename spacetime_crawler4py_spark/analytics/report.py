@@ -1,0 +1,120 @@
+"""The reference's four report analytics as Spark SQL aggregations.
+
+Replaces the global-mutable-dict + rewrite-a-file-per-page pattern
+(scraper.py:149-272, an O(n²) sink) with idempotent aggregations
+over the ``crawled_pages`` table the crawl loop materializes.
+Gating parity: crawled_pages only contains pages that produced
+links with content present — exactly the rows whose analytics the
+reference ran (scraper.py:27-44).
+
+All four are pure built-in aggregations (hash-agg with partial
+map-side combine; top-k plans as TakeOrderedAndProject):
+
+- A1 unique pages      COUNT(DISTINCT url_defrag)   (scraper.py:149-165)
+- A2 longest page      max_by(url_defrag, wc)       (scraper.py:169-190,
+                       intent semantics — the verbatim update loop is
+                       dead code, SURVEY §2.5 A2)
+- A3 top-50 words      explode → stopword filter → count → top-k
+                       (scraper.py:193-234; quirky P9 tokens already
+                       materialized by the parse UDF)
+- A4 ics subdomains    filter ics → SUM(n_unique_anchors) per defrag
+                       URL (scraper.py:238-272; the += on re-crawl
+                       makes it a plain SUM over crawl events)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.functions.stopwords import STOPWORDS
+
+_ICS_RE = r".*(\.ics\.uci\.edu).*"  # scraper.py:241 (on the full URL)
+
+
+def unique_pages(crawled: DataFrame) -> DataFrame:
+    """A1: distinct defragmented URLs."""
+    return crawled.select("url_defrag").distinct()
+
+
+def unique_page_count(crawled: DataFrame) -> int:
+    return unique_pages(crawled).count()
+
+
+def longest_page(crawled: DataFrame) -> DataFrame:
+    """A2: argmax page by word count (ties → lexicographically first
+    URL, a deterministic contract; the reference's tie behavior is
+    first-crawled-wins and ties cannot occur in the golden corpus)."""
+    dedup = crawled.groupBy("url_defrag").agg(F.max("wc").alias("wc"))
+    return dedup.orderBy(F.desc("wc"), F.asc("url_defrag")).limit(1)
+
+
+def common_words(crawled: DataFrame) -> DataFrame:
+    """A3 word frequencies: explode P9 tokens, case-insensitive
+    stopword test on case-sensitive keys (scraper.py:212-217)."""
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    return (
+        crawled.select(F.explode("tokens_report").alias("word"))
+        .where(~F.array_contains(stop, F.lower(F.col("word"))))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def top_50_words(crawled: DataFrame) -> DataFrame:
+    """A3 top-k: count desc, word asc tie-break → TakeOrderedAndProject."""
+    return common_words(crawled).orderBy(F.desc("count"), F.asc("word")).limit(50)
+
+
+def ics_subdomains(crawled: DataFrame) -> DataFrame:
+    """A4: per-ics-URL unique-anchor counts, += on re-crawl ≡ SUM."""
+    return (
+        crawled.where(F.col("url").rlike(_ICS_RE))
+        .groupBy("url_defrag")
+        .agg(F.sum("n_unique_anchors").alias("n_links"))
+        .orderBy("url_defrag")
+    )
+
+
+# ---------------------------------------------------------------- sinks
+
+
+def write_report_files(crawled: DataFrame, out_dir: str) -> None:
+    """Write the four golden-format text files ONCE (vs per-page).
+
+    Formats mirror scraper.py:156-165, 183-190, 224-234, 268-272.
+    Report files are small (top-50, one argmax, URL lists) — written
+    driver-side after the distributed aggregation collapses.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    pages = [r["url_defrag"] for r in unique_pages(crawled).collect()]
+    with open(os.path.join(out_dir, "uniquePages.txt"), "w") as f:
+        f.write(
+            "The number of unique pages that have been found, "
+            f"solely based on URL: {len(pages)}\n"
+        )
+        for i, u in enumerate(sorted(pages), 1):
+            f.write(f"{i}. {u}\n\n")
+
+    lp = longest_page(crawled).collect()
+    with open(os.path.join(out_dir, "longestPage.txt"), "w") as f:
+        f.write("The longest page and its length (in terms of word count): \n")
+        for r in lp:
+            f.write(f"URL: {r['url_defrag']} -> Word Count: {r['wc']}")
+        f.write("\n")
+
+    top = top_50_words(crawled).collect()
+    with open(os.path.join(out_dir, "top50CommonWords.txt"), "w") as f:
+        f.write("Top 50 Common Words: \n\n")
+        for r in top:
+            f.write(f"'{r['word']}' : {r['count']}\n")
+        f.write("\nend")
+
+    subs = ics_subdomains(crawled).collect()
+    with open(os.path.join(out_dir, "icsSubDomains.txt"), "w") as f:
+        f.write(
+            "".join(f"{r['url_defrag']}, {r['n_links']}\n" for r in subs)
+        )

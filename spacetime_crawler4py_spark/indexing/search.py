@@ -1,0 +1,106 @@
+"""Search over the TF-IDF index (reference run_engine + friends).
+
+Reference behaviors mapped (SURVEY.md §3.3, §2.4 J3-J5):
+
+- query → split on spaces → Porter-stem each word
+  (indexerV1.py:541-542)
+- per-word candidate postings: top-1000 by score
+  (indexerV1.py:488), fuzzy token match ≥.95 ≈ levenshtein ≤ 1 on
+  same-ish length (J5; difflib cutoff .95 on short tokens means
+  near-exact — we expose exact match by default, fuzzy optional)
+- multi-word AND: sorted-merge intersection on doc_id
+  (indexer.py:435-450) ≡ Spark inner join (J4 — a sort-merge join
+  IS that algorithm), scores summed across terms
+- top-10 docs → URL lookup via broadcast join against the doc
+  index (J3; replaces the reference's per-row file rescans,
+  indexer.py:452-471)
+
+The reference's last-word-only scoring bug (indexerV1.py:541-543
+overwrites tfidfDict per word) is NOT reproduced by default;
+``last_word_only=True`` gets verbatim parity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.functions.porter import porter_stem
+
+
+def stem_query(query: str) -> list[str]:
+    return [porter_stem(w) for w in query.split(" ") if w]
+
+
+def _term_postings(
+    tfidf: DataFrame, term: str, per_term_limit: int, fuzzy: bool
+) -> DataFrame:
+    if fuzzy:
+        cand = tfidf.where(
+            (F.length("token") >= F.length(F.lit(term)) - 1)
+            & (F.length("token") <= F.length(F.lit(term)) + 1)
+            & (F.levenshtein(F.col("token"), F.lit(term)) <= 1)
+        )
+    else:
+        cand = tfidf.where(F.col("token") == term)
+    return (
+        cand.orderBy(F.desc("tfidf"))
+        .limit(per_term_limit)  # TakeOrderedAndProject: the reference's top-1000 cut
+        .select("doc_id", F.col("tfidf").alias("score"))
+    )
+
+
+def search(
+    tfidf: DataFrame,
+    docs: DataFrame,
+    query: str,
+    top_k: int = 10,
+    per_term_limit: int = 1000,
+    fuzzy: bool = False,
+    last_word_only: bool = False,
+    mode: str = "and",
+) -> DataFrame:
+    """Returns (doc_id, score, url) top_k rows, score desc.
+
+    ``docs`` is the doc index (doc_id, url) — small; broadcast for
+    the J3 lookup.  mode='and' intersects terms (J4); mode='or'
+    unions with score sum (the indexer.py:495-497 fallback U4).
+    """
+    terms = stem_query(query)
+    if last_word_only and terms:
+        terms = terms[-1:]
+    if not terms:
+        return docs.select("doc_id", F.lit(0.0).alias("score"), "url").limit(0)
+
+    per_term = [
+        _term_postings(tfidf, t, per_term_limit, fuzzy).withColumnRenamed(
+            "score", f"s{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    if mode == "and":
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), per_term)
+        scored = joined.select(
+            "doc_id",
+            sum([F.col(f"s{i}") for i in range(len(terms))], F.lit(0.0)).alias(
+                "score"
+            ),
+        )
+    else:
+        scored = (
+            reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    p.select("doc_id", F.col(f"s{i}").alias("score"))
+                    for i, p in enumerate(per_term)
+                ],
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    return top.join(F.broadcast(docs.select("doc_id", "url")), "doc_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )

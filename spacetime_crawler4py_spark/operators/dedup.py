@@ -1,0 +1,303 @@
+"""Deduplication operator family for large-scale training-data
+pipelines (engine extension beyond the reference; the reference's
+own dedup ops are F8 url-hash, F10 url-defrag and F11 simhash —
+all in frontier/ and indexing/).
+
+Every operator here follows the same scale shape:
+
+  per-doc signature (JVM expressions where possible)
+  → candidate pairs via an EQUI-join on a bounded bucket key
+    (bands / shingles / hyperplane signs — never an O(n²) cross)
+  → exact verification filter on the candidates
+  → representative selection: keep the lowest doc id of each
+    duplicate group (drop any doc with an edge to a lower id)
+
+- exact_dedup          hash-groupBy on md5(text) — one shuffle
+- ngram_jaccard_pairs  word n-gram shingles, Jaccard via shared
+                       shingle counts (pure joins+aggs, SQL-oracle-able)
+- minhash_lsh_*        MinHash signatures (Broder 1997) from
+                       xxhash64 shingle hashes under k universal
+                       hash perms (Carter-Wegman a*h+b mod p), LSH
+                       banding (Leskovec et al., MMDS ch.3)
+- simhash              see indexing.postings.simhash_dedup
+- embedding_neardup_pairs  cosine ≥ t via random-hyperplane LSH
+                       buckets (Charikar 2002) + exact cosine check
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus.  Chosen so a*h+b
+# with a,h < p stays under 2^62 — no long overflow under Spark's
+# ANSI arithmetic (default in Spark 4).
+MERSENNE_P = (1 << 31) - 1
+
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per identical text (md5 group key).
+
+    groupBy on the 128-bit hash, not the text itself — the shuffle
+    moves 16-byte keys instead of documents.
+    """
+    reps = (
+        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col).alias("_id"))
+        .groupBy("_h")
+        .agg(F.min("_id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
+# ------------------------------------------------- n-gram Jaccard
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings, JVM-side (split + transform)."""
+    words = F.split(F.lower(text), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-Jaccard ≥ t.
+
+    Exact (not approximate): candidates come from the shingle
+    equi-self-join — only docs sharing ≥1 shingle are compared, and
+    Jaccard is computed from exact shared/size counts.  Shuffle key
+    is the shingle string; hot shingles are the skew risk, so pair
+    generation drops shingles occurring in more than ``max_df``
+    docs (ubiquitous shingles can't push a pair over a high
+    threshold alone but quadratically blow up the join).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    max_df = 1000
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "s",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------- MinHash LSH
+
+
+def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — k MinHash values, fully JVM-side.
+
+    Shingle base hash is xxhash64; each permutation is
+    (a*h + b) mod p over the Mersenne prime 2^61-1, min-aggregated
+    per doc.  One explode + one groupBy with k partial-min
+    aggregates — map-side combine keeps the shuffle at k longs/doc.
+    """
+    coeffs = _perm_coeffs(k, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P)))
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard): LSH band join + signature check.
+
+    est_jaccard = fraction of matching minhash components (unbiased
+    Jaccard estimator); band key is a hash of each ``rows``-slice of
+    the signature, so the self-join shuffles a bounded key.
+    """
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]
+                        )
+                    ).alias("bkey"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    sigs = minhash_signatures(df, text_col, id_col, n, k, seed)
+    pairs = minhash_lsh_pairs(sigs, bands, rows, threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------- embedding near-dup
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, JVM-side
+    (zip_with dot product + aggregate norms; no Python crossing)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign bucket (Charikar 2002 SimHash for
+    vectors): bit i = sign(<v, plane_i>).  Planes are literals —
+    the whole expression is JVM-side."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cos) with cosine ≥ t; candidates share an LSH
+    sign-bucket (near-identical vectors agree on all signs with
+    overwhelming probability), verified with exact cosine."""
+    planes = make_planes(dim, n_planes, seed)
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

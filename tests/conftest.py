@@ -9,6 +9,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="session")
+def corpus80(spark, tmp_path_factory):
+    """Shared 80-page corpus: (corpus_dir, corpus_rows)."""
+    from spacetime_crawler4py_spark.datagen.pages import (
+        generate_corpus,
+        write_corpus,
+    )
+
+    d = tmp_path_factory.mktemp("corpus80")
+    write_corpus(spark, str(d), n_pages=80, seed=42)
+    return str(d), generate_corpus(n_pages=80, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle80(corpus80):
+    from spacetime_crawler4py_spark.crawl.oracle import (
+        OracleCrawler,
+        corpus_to_dicts,
+    )
+
+    _, corpus = corpus80
+    pages, status, seeds = corpus_to_dicts(corpus)
+    return OracleCrawler(pages, status, seeds).run()
+
+
+@pytest.fixture(scope="session")
+def engine80(spark, corpus80, tmp_path_factory):
+    """A completed batched crawl over corpus80 (shared state)."""
+    from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
+    from spacetime_crawler4py_spark.datagen.pages import SEED_URLS
+
+    corpus_dir, _ = corpus80
+    state = tmp_path_factory.mktemp("engine80_state")
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(state),
+        pages_path=f"{corpus_dir}/pages.parquet",
+        status_path=f"{corpus_dir}/fetch_status.parquet",
+        seeds=SEED_URLS,
+        window_ms=32_000,
+    )
+    eng.n_batches_run = eng.run()
+    return eng
+
+
+@pytest.fixture(scope="session")
 def spark():
     from spacetime_crawler4py_spark.session import get_spark
 

@@ -7,8 +7,6 @@
 
 from __future__ import annotations
 
-import pytest
-
 from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
 from spacetime_crawler4py_spark.crawl.oracle import OracleCrawler, corpus_to_dicts
 from spacetime_crawler4py_spark.datagen.pages import (
@@ -16,21 +14,6 @@ from spacetime_crawler4py_spark.datagen.pages import (
     generate_corpus,
     write_corpus,
 )
-
-
-@pytest.fixture(scope="module")
-def corpus_small(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("corpus_small")
-    write_corpus(spark, str(d), n_pages=80, seed=42)
-    corpus = generate_corpus(n_pages=80, seed=42)
-    return str(d), corpus
-
-
-@pytest.fixture(scope="module")
-def oracle_result(corpus_small):
-    _, corpus = corpus_small
-    pages, status, seeds = corpus_to_dicts(corpus)
-    return OracleCrawler(pages, status, seeds).run()
 
 
 def _engine(spark, state_dir, corpus_dir, **kw):
@@ -44,16 +27,12 @@ def _engine(spark, state_dir, corpus_dir, **kw):
     )
 
 
-def test_batched_seen_set_matches_oracle(spark, corpus_small, oracle_result, tmp_path):
-    corpus_dir, _ = corpus_small
-    eng = _engine(spark, tmp_path / "state", corpus_dir, window_ms=32_000)
-    n_batches = eng.run()
-    assert n_batches > 1, "politeness caps should force multiple batches"
-    assert eng.seen_set() == set(oracle_result.seen.keys())
-    # every discovered URL was eventually fetched (frontier drained)
-    order = eng.crawl_order()
-    assert len(order) == len(oracle_result.crawl_order)
-    assert sorted(order) == sorted(oracle_result.crawl_order)
+def test_batched_seen_set_matches_oracle(engine80, oracle80):
+    assert engine80.n_batches_run > 1, "politeness caps should force multiple batches"
+    assert engine80.seen_set() == set(oracle80.seen.keys())
+    order = engine80.crawl_order()
+    assert len(order) == len(oracle80.crawl_order)
+    assert sorted(order) == sorted(oracle80.crawl_order)
 
 
 def test_strict_lifo_order_matches_oracle(spark, tmp_path_factory):
@@ -64,34 +43,29 @@ def test_strict_lifo_order_matches_oracle(spark, tmp_path_factory):
     pages, status, seeds = corpus_to_dicts(corpus)
     oracle = OracleCrawler(pages, status, seeds).run()
 
-    eng = _engine(
-        spark, d / "state", spark_dir, strict_lifo=True, use_bloom=False
-    )
+    eng = _engine(spark, d / "state", spark_dir, strict_lifo=True, use_bloom=False)
     eng.run()
     assert eng.crawl_order() == oracle.crawl_order
     assert eng.seen_set() == set(oracle.seen.keys())
 
 
-def test_resume_identity(spark, corpus_small, oracle_result, tmp_path):
-    corpus_dir, _ = corpus_small
-    # full run
-    full = _engine(spark, tmp_path / "full", corpus_dir)
-    full.run()
+def test_resume_identity(spark, corpus80, engine80, tmp_path):
+    corpus_dir, _ = corpus80
     # interrupted run: stop after 2 batches, then resume with a NEW
     # engine on the same state dir
     part = _engine(spark, tmp_path / "part", corpus_dir)
     part.run(max_batches=2)
     resumed = _engine(spark, tmp_path / "part", corpus_dir)
     resumed.run()
-    assert resumed.seen_set() == full.seen_set() == set(oracle_result.seen.keys())
-    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_set() == engine80.seen_set()
+    assert resumed.crawl_order() == engine80.crawl_order()
 
 
-def test_uncommitted_batch_invisible(spark, corpus_small, tmp_path):
+def test_uncommitted_batch_invisible(spark, corpus80, engine80, tmp_path):
     """Crash between data write and marker → batch invisible on resume."""
     import os
 
-    corpus_dir, _ = corpus_small
+    corpus_dir, _ = corpus80
     eng = _engine(spark, tmp_path / "state", corpus_dir)
     eng.run(max_batches=3)
     last = eng.store.last_batch_id()
@@ -101,6 +75,4 @@ def test_uncommitted_batch_invisible(spark, corpus_small, tmp_path):
     assert eng2.store.last_batch_id() == last - 1
     # resumed crawl still converges to the full seen set
     eng2.run()
-    full = _engine(spark, tmp_path / "full2", corpus_dir)
-    full.run()
-    assert eng2.seen_set() == full.seen_set()
+    assert eng2.seen_set() == engine80.seen_set()

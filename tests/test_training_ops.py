@@ -1,0 +1,149 @@
+"""Training-data operators: dedup family, similarity search, text
+quality, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.operators import dedup as D
+from spacetime_crawler4py_spark.operators import multimodal as M
+from spacetime_crawler4py_spark.operators import similarity as S
+from spacetime_crawler4py_spark.functions import text_quality as Q
+
+TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different text about distributed query engines and analytics"),
+    (4, "el gato y el perro estan en la casa de la abuela con los ninos"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # 50/51: near-identical pair
+    v50 = np.array(rows[10][1]) + rng.standard_normal(16) * 1e-3
+    v50 /= np.linalg.norm(v50)
+    rows.append((50, [float(x) for x in v50]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got or (1, 2) in got  # one-word diff
+    assert not any(3 in p or 4 in p for p in got)
+    # exact-dup pair has jaccard exactly 1.0
+    j01 = [r["jaccard"] for r in pairs if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert j01 == 1.0
+    kept = sorted(r["doc_id"] for r in D.ngram_jaccard_dedup(docs, threshold=0.5).collect())
+    assert kept == [0, 3, 4]
+
+
+def test_minhash_lsh(docs):
+    sigs = D.minhash_signatures(docs, k=64)
+    rows = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical text → identical signature
+    sim02 = sum(a == b for a, b in zip(rows[0], rows[2])) / 64
+    assert sim02 > 0.5
+    sim03 = sum(a == b for a, b in zip(rows[0], rows[3])) / 64
+    assert sim03 < 0.2
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(sigs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    kept = sorted(r["doc_id"] for r in D.minhash_dedup(docs, threshold=0.5).collect())
+    assert kept[0] == 0 and 1 not in kept
+
+
+def test_embedding_neardup(emb):
+    pairs = D.embedding_neardup_pairs(emb, dim=16, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(10, 50)}
+
+
+def test_brute_force_vs_numpy(emb):
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows])
+    q = list(mat[7])
+    sims = mat @ np.array(q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    expect = list(np.argsort(-sims)[:5])
+    got = [r["vec_id"] for r in S.brute_force_topk(emb, q, k=5, id_col="vec_id").collect()]
+    assert got == expect
+
+
+def test_lsh_topk_recall(emb):
+    rows = emb.orderBy("vec_id").collect()
+    q = list(rows[10]["embedding"])
+    got = [r["vec_id"] for r in S.lsh_topk(emb, q, k=3, n_planes=6, probe_hamming=3).collect()]
+    # the query point itself and its near-twin must be found
+    assert got[0] == 10 and 50 in got
+
+
+def test_knn_join(emb):
+    g = S.knn_join(emb, k=3, n_planes=4, dim=16)
+    rows = g.collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+    mine = [r for r in rows if r["vec_id"] == 10]
+    assert any(r["neighbor_id"] == 50 for r in mine)
+
+
+def test_text_quality(spark, docs):
+    out = docs.select(
+        "doc_id",
+        Q.token_count_ws(F.col("text")).alias("n_ws"),
+        Q.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+        Q.lang_id(F.col("text")).alias("lang"),
+        Q.quality_score(F.col("text")).alias("q"),
+        Q.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in by_id_list(out)}
+    assert by_id[0]["n_ws"] == 14
+    assert by_id[0]["lang"] == "en"
+    assert by_id[4]["lang"] == "es"
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+    assert by_id[0]["fp"] == by_id[1]["fp"]  # identical text, identical fp
+    assert by_id[0]["fp"] != by_id[2]["fp"]
+
+
+def by_id_list(rows):
+    return rows
+
+
+def test_multimodal_featurize(spark):
+    media = M.synth_media(spark, n=30, seed=42)
+    feats = M.featurize(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    # determinism: same content → same features
+    rows2 = M.featurize(media, dim=16).collect()
+    assert {r["media_id"]: tuple(r["features"]) for r in rows} == {
+        r["media_id"]: tuple(r["features"]) for r in rows2
+    }
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xx")
+    # video frame sampling plan from metadata only
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    p = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in p)
