@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship frontier-ingest pipeline; ``queries`` /
+``oracle_sql`` expose the operator catalog in
+``spacetime_crawler4py_spark/queries.py`` (each entry cites its
+SURVEY.md §2 operator row; oracles are DuckDB ANSI-SQL twins with
+identical column aliases).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier-ingest pipeline on sf0.001.
+
+    URL synthesis → P1 normalize → F1-F4 validity → P2 sha256
+    url-hash → exact dedup → per-host pending counts, all JVM-side
+    (the crawl engine's link-processing hot path, SURVEY §2.2-2.3).
+    """
+    from spacetime_crawler4py_spark.functions.urlnorm import (
+        col_netloc,
+        col_normalize,
+        col_urlhash,
+    )
+    from spacetime_crawler4py_spark.functions.validity import col_is_valid
+    from spacetime_crawler4py_spark.queries import _urls_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.withColumn("url", col_normalize(F.col("url")))
+        .where(col_is_valid(F.col("url")))
+        .withColumn("url_hash", col_urlhash(F.col("url")))
+        .dropDuplicates(["url_hash"])
+        .groupBy(col_netloc(F.col("url")).alias("host"))
+        .agg(F.count("*").alias("n_pending"))
+        .orderBy(F.desc("n_pending"), F.asc("host"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spacetime_crawler4py_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spacetime_crawler4py_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,141 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and a crawl
+throughput section on a generated bench corpus, then prints ONE
+JSON line:
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"pages_per_sec": ..., "dedup_ops_per_sec": ...}}
+
+Scaling evidence (north_rule two-cluster-size criterion) is produced
+by tools/scaling_bench.py which runs this same workload at two
+parallelism levels in separate JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "j3_part_revenue_top20",
+    "o6_topk_per_group",
+    "t_hourly_event_rollup",
+    "p2_url_hash",
+    "a5_word_frequency_top100",
+    "a6a8_tfidf",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_kept",
+    "ann_cosine_top20",
+]
+
+BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1500"))
+
+
+def _bench_corpus_dir(spark) -> str:
+    d = f"/tmp/spark_graft_bench_corpus_{BENCH_CORPUS_PAGES}"
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        from spacetime_crawler4py_spark.datagen.pages import write_corpus
+
+        write_corpus(spark, d, n_pages=BENCH_CORPUS_PAGES, seed=42)
+    return d
+
+
+def run_crawl_bench(spark) -> dict:
+    import shutil
+    import tempfile
+
+    from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
+    from spacetime_crawler4py_spark.datagen.pages import SEED_URLS
+
+    corpus = _bench_corpus_dir(spark)
+    state = tempfile.mkdtemp(prefix="crawl_bench_state_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            state_dir=state,
+            pages_path=f"{corpus}/pages.parquet",
+            status_path=f"{corpus}/fetch_status.parquet",
+            seeds=SEED_URLS,
+            window_ms=1_000_000,  # politeness cap 2000/host: drain fast
+        )
+        t0 = time.time()
+        eng.run()
+        wall = time.time() - t0
+        n_fetched = len(eng.crawl_order())
+        # dedup ops = candidate links pushed through the bloom +
+        # anti-join path (posexplode output post-validity)
+        from pyspark.sql import functions as F
+
+        n_links = (
+            eng.crawled_pages()
+            .agg(F.sum("n_unique_anchors").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+        return {
+            "wall_sec": round(wall, 2),
+            "n_fetched": n_fetched,
+            "pages_per_sec": round(n_fetched / wall, 2),
+            "n_link_candidates": int(n_links),
+            "dedup_ops_per_sec": round(int(n_links) / wall, 2),
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from spacetime_crawler4py_spark.queries import QUERIES
+    from spacetime_crawler4py_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side collect cost
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    crawl = run_crawl_bench(spark)
+    total += crawl["wall_sec"]
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

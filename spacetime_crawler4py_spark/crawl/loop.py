@@ -82,6 +82,10 @@ class CrawlEngine:
         self.parity = strict_reference_parity
         self._bloom = None
         self._bloom_age = 0
+        # driver-tracked seq high-water mark: avoids a full scan of
+        # the discovered log per batch (initialized lazily from the
+        # store on first use, then maintained incrementally)
+        self._max_seq: int | None = None
 
         pages = spark.read.parquet(pages_path)
         if status_path and os.path.exists(status_path):
@@ -260,7 +264,9 @@ class CrawlEngine:
             new = candidates.join(seen, "url_hash", "left_anti")
 
         # ---- seq assignment: base + rank in (fetch_order, pos) order
-        base = self.store.max_seq()
+        if self._max_seq is None:
+            self._max_seq = self.store.max_seq()
+        base = self._max_seq
         w_seq = Window.orderBy("fetch_order", "pos")
         new_rows = (
             new.withColumn("seq", F.lit(base) + F.row_number().over(w_seq))
@@ -277,6 +283,7 @@ class CrawlEngine:
         new_rows = new_rows.cache()
         n_new = new_rows.count()
         if n_new:
+            self._max_seq = base + n_new
             self.store.append_discovered(new_rows)
             if self.use_bloom and self._bloom is not None:
                 # keep the broadcast bloom exactly in sync with the

@@ -57,8 +57,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as strings, JVM-side (split + transform)."""
-    words = F.split(F.lower(text), r"\s+")
+    """Distinct word n-grams as strings, JVM-side (split + transform).
+
+    Empty tokens (leading whitespace artifacts of regex split) are
+    filtered so shingles match a filtered-token oracle exactly.
+    """
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - F.lit(1))
     sh = F.transform(

@@ -1,0 +1,844 @@
+"""Driver-contract query catalog: every entry pairs a Spark
+DataFrame query with (where SQL-expressible) a DuckDB oracle twin.
+
+Keys map to SURVEY.md §2 operator rows (cited per entry).  Column
+names are aliased identically on both sides (the driver's compare
+hashes values after sorting columns by name).  Float outputs are
+ROUND()ed on both sides so cross-engine double formatting matches.
+
+Registry shape:
+    QUERIES[name]   = fn(spark, sf_dir) -> DataFrame
+    ORACLES[name]   = ANSI SQL for DuckDB over pre-registered views
+                      (absent → driver records a rows-only check)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# TPC-H-shaped relational core (SURVEY §2.4 joins, §2.5 aggs, §2.6 topk)
+# =====================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """A5/A10-class hash aggregation with map-side partial combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_revenue_orders",
+    """
+    SELECT o_orderkey, revenue, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM (
+      SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue,
+             o.o_orderdate
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10
+    )
+    """,
+)
+def q3(spark, sf_dir):
+    """J2-class multi-join + top-k (TakeOrderedAndProject)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@_q(
+    "q5_revenue_by_nation",
+    """
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """Join chain with two broadcast-size dims (nation, region)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "j1_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j1_anti(spark, sf_dir):
+    """J1/F8-class LEFT ANTI join (the frontier-dedup primitive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@_q(
+    "j2_customers_with_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j2_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
+@_q(
+    "j3_part_revenue_top20",
+    """
+    SELECT p.p_name, ROUND(SUM(l.l_extendedprice), 3) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_name
+    ORDER BY revenue DESC, p_name ASC
+    LIMIT 20
+    """,
+)
+def j3_broadcast(spark, sf_dir):
+    """J3-class broadcast dim lookup (doc-index join in the reference)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_name")
+        .agg(F.round(F.sum("l_extendedprice"), 3).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "u5_intersect_customers",
+    """
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '2024-02-01 00:00:00'
+    INTERSECT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u5_intersect(spark, sf_dir):
+    """U5/J4-class intersection (posting-list AND ≡ inner join)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(
+        F.col("o_orderdate") < F.lit("2024-02-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    return a.intersect(b)
+
+
+@_q(
+    "u4_union_high_value",
+    """
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u4_union(spark, sf_dir):
+    """U4-class union-distinct (the search fallback result merge)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+        .union(o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"))
+        .distinct()
+    )
+
+
+# =====================================================================
+# events: filters, distinct counts, top-k, windows (F5, A1, O1, O6)
+# =====================================================================
+
+
+@_q(
+    "f5_status_filter_counts",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type NOT IN ('error', 'timeout')
+    GROUP BY event_type
+    """,
+)
+def f5_filter(spark, sf_dir):
+    """F5-mirror: categorical drop-filter then count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(~F.col("event_type").isin("error", "timeout"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "a1_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_distinct(spark, sf_dir):
+    """A1-mirror: COUNT(DISTINCT) — two-phase partial/final agg."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@_q(
+    "o1_top_users_by_value",
+    """
+    SELECT user_id, ROUND(SUM(value), 3) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 50
+    """,
+)
+def o1_topk(spark, sf_dir):
+    """O1-mirror: agg + top-50 (TakeOrderedAndProject, no full sort)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 3).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+@_q(
+    "o6_topk_per_group",
+    """
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def o6_window(spark, sf_dir):
+    """O6-mirror: the repo's one window-function shape (per-token
+    score ranking, indexerV1.py:440)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+@_q(
+    "t_hourly_event_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 3) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def t_window_rollup(spark, sf_dir):
+    """T-mirror: tumbling event-time window as a batch aggregation
+    (the Structured Streaming twin lives in streaming/pipeline.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("_h"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# =====================================================================
+# URL pipeline (P1-P3, F2, F4) over URLs synthesized from documents
+# =====================================================================
+
+# identical deterministic URL synthesis on both engines:
+_URL_SQL = (
+    "'https://' || source || CAST(doc_id % 4 AS VARCHAR(30)) || '.ics.uci.edu/doc/'"
+    " || CAST(doc_id AS VARCHAR(30))"
+    " || CASE WHEN doc_id % 5 = 0 THEN '.pdf' WHEN doc_id % 5 = 1 THEN '.html' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?q=' || CAST(doc_id % 7 AS VARCHAR(30)) ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#s' || CAST(doc_id % 11 AS VARCHAR(30)) ELSE '' END"
+)
+
+
+def _urls_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(f"SELECT doc_id, {_URL_SQL} AS url FROM documents")
+
+
+@_q(
+    "p1_url_normalize",
+    f"""
+    SELECT doc_id, regexp_replace(url || CASE WHEN doc_id % 4 = 0 THEN '///' ELSE '' END,
+                                  '/+$', '') AS norm_url
+    FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    """,
+)
+def p1_norm(spark, sf_dir):
+    from spacetime_crawler4py_spark.functions.urlnorm import col_normalize
+
+    u = _urls_df(spark, sf_dir)
+    decorated = u.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("url"), F.lit("///"))).otherwise(
+            F.col("url")
+        ),
+    )
+    return decorated.select("doc_id", col_normalize(F.col("url")).alias("norm_url"))
+
+
+@_q(
+    "p2_url_hash",
+    f"""
+    SELECT doc_id,
+           sha256(
+             source || CAST(doc_id % 4 AS VARCHAR(30)) || '.ics.uci.edu' || '/'
+             || '/doc/' || CAST(doc_id AS VARCHAR(30))
+             || CASE WHEN doc_id % 5 = 0 THEN '.pdf' WHEN doc_id % 5 = 1 THEN '.html' ELSE '' END
+             || '/' || '/'
+             || CASE WHEN doc_id % 3 = 0 THEN 'q=' || CAST(doc_id % 7 AS VARCHAR(30)) ELSE '' END
+             || '/'
+             || CASE WHEN doc_id % 2 = 0 THEN 's' || CAST(doc_id % 11 AS VARCHAR(30)) ELSE '' END
+           ) AS url_hash
+    FROM documents
+    """,
+)
+def p2_hash(spark, sf_dir):
+    """col_urlhash (JVM URL parser) vs the oracle composing the
+    reference formula netloc/path/params/query/fragment directly
+    from the synthesis parts (utils/__init__.py:25-30)."""
+    from spacetime_crawler4py_spark.functions.urlnorm import col_urlhash
+
+    u = _urls_df(spark, sf_dir)
+    return u.select("doc_id", col_urlhash(F.col("url")).alias("url_hash"))
+
+
+@_q(
+    "p3_url_defrag",
+    f"""
+    SELECT doc_id, regexp_replace(url, '#.*$', '') AS url_defrag
+    FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    """,
+)
+def p3_defrag(spark, sf_dir):
+    from spacetime_crawler4py_spark.functions.urlnorm import col_defragment
+
+    u = _urls_df(spark, sf_dir)
+    return u.select("doc_id", col_defragment(F.col("url")).alias("url_defrag"))
+
+
+@_q(
+    "f2_f4_is_valid",
+    f"""
+    SELECT doc_id, url,
+      (regexp_matches(lower(source || CAST(doc_id % 4 AS VARCHAR(30)) || '.ics.uci.edu'),
+        '.*((\\.ics\\.uci\\.edu)|(\\.cs\\.uci\\.edu)|(\\.informatics\\.uci\\.edu)|(\\.stat\\.uci\\.edu)).*')
+       AND NOT regexp_matches(
+        lower('/doc/' || CAST(doc_id AS VARCHAR(30))
+              || CASE WHEN doc_id % 5 = 0 THEN '.pdf' WHEN doc_id % 5 = 1 THEN '.html' ELSE '' END),
+        '.*\\.(css|js|bmp|gif|jpe?g|ico|png|tiff?|mid|mp2|mp3|mp4|wav|avi|mov|mpeg|ram|m4v|mkv|ogg|ogv|pdf|ps|eps|tex|ppt|pptx|doc|docx|xls|xlsx|names|data|dat|exe|bz2|tar|msi|bin|7z|psd|dmg|iso|epub|dll|cnf|tgz|sha1|thmx|mso|arff|rtf|jar|csv|rm|smil|wmv|swf|wma|zip|rar|gz|ppsx)$')
+      ) AS valid
+    FROM (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
+    """,
+)
+def f2f4_valid(spark, sf_dir):
+    """Full is_valid Column predicate vs an oracle computing F2+F4
+    from the synthesis parts (F1 always true — https; F3 never
+    fires — netloc has no '/', the verbatim bug)."""
+    from spacetime_crawler4py_spark.functions.validity import col_is_valid
+
+    u = _urls_df(spark, sf_dir)
+    return u.select("doc_id", "url", col_is_valid(F.col("url")).alias("valid"))
+
+
+# =====================================================================
+# text: word frequency, stopwords, tf-idf, quality, lang, counts
+# (A3, A5-A8, F12 + training-data text analysis)
+# =====================================================================
+
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+
+
+@_q(
+    "a5_word_frequency_top100",
+    f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 100
+    """,
+)
+def a5_wordfreq(spark, sf_dir):
+    """A5-mirror: explode → count → deterministic top-100."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@_q(
+    "f12_word_freq_minus_stopwords",
+    None,  # oracle attached in _finalize (needs the stopword list)
+)
+def f12_stopwords(spark, sf_dir):
+    """A3/F12-mirror: frequency excluding stopwords (case-insensitive
+    membership), deterministic top-50."""
+    from spacetime_crawler4py_spark.functions.stopwords import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    return (
+        words.where(~F.array_contains(stops, F.col("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@_q(
+    "a6a8_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ), tf AS (
+      SELECT word, doc_id, 1 + log10(COUNT(*)) AS tf
+      FROM toks GROUP BY word, doc_id
+    ), idf AS (
+      SELECT word, ln((SELECT COUNT(*) FROM documents) / COUNT(DISTINCT doc_id)) AS idf
+      FROM toks GROUP BY word
+    )
+    SELECT tf.word, tf.doc_id, ROUND(tf.tf * idf.idf, 4) AS tfidf
+    FROM tf JOIN idf ON tf.word = idf.word
+    WHERE tf.tf * idf.idf > 2.0
+    """,
+)
+def a6a8_tfidf(spark, sf_dir):
+    """A6-A8: tf(1+log10) × idf(ln N/df) per (word, doc) over
+    whitespace tokens (indexerV1.py:381,393,410-423 semantics with
+    the actual doc count instead of the hard-coded 40140)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy("word", "doc_id").agg(
+        (F.lit(1.0) + F.log10(F.count("*"))).alias("tf")
+    )
+    idf = toks.groupBy("word").agg(
+        F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")).alias("idf")
+    )
+    return (
+        tf.join(idf, "word")
+        .where(F.col("tf") * F.col("idf") > 2.0)
+        .select("word", "doc_id", F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"))
+    )
+
+
+@_q(
+    "a2_longest_doc_per_lang",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ) WHERE rnk = 1
+    """,
+)
+def a2_argmax(spark, sf_dir):
+    """A2-mirror: deterministic argmax (longest-page intent)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@_q(
+    "tq_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+    FROM documents
+    """,
+)
+def tq_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish fragments (training-data
+    text analysis; JVM regexp on the Spark side)."""
+    from spacetime_crawler4py_spark.functions.text_quality import (
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 ]"), 0)
+        ).alias("n_bpe"),
+    )
+
+
+@_q("tq_lang_id", None)  # oracle attached in _finalize (marker lists)
+def tq_lang(spark, sf_dir):
+    from spacetime_crawler4py_spark.functions.text_quality import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q("tq_quality_score", None)  # oracle attached in _finalize
+def tq_quality(spark, sf_dir):
+    from spacetime_crawler4py_spark.functions.text_quality import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
+
+
+# =====================================================================
+# dedup family (training-data ops; SURVEY F8/F10/F11 relatives)
+# =====================================================================
+
+
+@_q(
+    "dedup_exact_md5",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: representative id + multiplicity."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard_pairs",
+    None,  # oracle attached in _finalize (shingle list comprehension)
+)
+def dedup_jaccard(spark, sf_dir):
+    from spacetime_crawler4py_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, n=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@_q("dedup_minhash_kept", None)  # xxhash64 not reproducible in DuckDB
+def dedup_minhash(spark, sf_dir):
+    from spacetime_crawler4py_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.5).select("doc_id")
+
+
+@_q("dedup_simhash_pairs", None)  # md5-int simhash not expressible in SQL
+def dedup_simhash(spark, sf_dir):
+    """Banded simhash near-dup candidates at a loose radius (the
+    synthetic corpus has no Hamming≤3 twins; k=16 exercises the
+    band join + popcount filter with non-empty output)."""
+    from spacetime_crawler4py_spark.functions.simhash import (
+        N_BANDS,
+        col_band,
+        col_hamming64,
+        pdf_simhash64,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sims = d.select("doc_id", pdf_simhash64(F.col("text")).alias("sim"))
+    bands = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bi"), col_band(F.col("sim"), i).alias("bv"))
+                for i in range(N_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "sim", "b.bi", "b.bv")
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "bi", "bv")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "bi", "bv")
+    return (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", col_hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= 16)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+# =====================================================================
+# similarity search over embeddings
+# =====================================================================
+
+
+@_q(
+    "ann_cosine_top20",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def ann_brute(spark, sf_dir):
+    """Brute-force cosine top-k against vec_id=0 (exact baseline;
+    JVM zip_with/aggregate dot product, TakeOrderedAndProject)."""
+    from spacetime_crawler4py_spark.operators.dedup import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qv")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@_q("ann_lsh_top20", None)  # LSH bucket path (scale variant; no SQL twin)
+def ann_lsh(spark, sf_dir):
+    from spacetime_crawler4py_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [r["embedding"] for r in e.where(F.col("vec_id") == 0).collect()][0]
+    return lsh_topk(e, list(q), k=20, n_planes=8, probe_hamming=4)
+
+
+@_q(
+    "emb_label_centroid_norms",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(list_cosine_similarity(embedding, embedding)), 2) AS self_cos
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_centroids(spark, sf_dir):
+    """Embedding-column aggregation sanity (self-cosine ≡ 1)."""
+    from spacetime_crawler4py_spark.operators.dedup import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(cosine_sim(F.col("embedding"), F.col("embedding"))), 2
+        ).alias("self_cos"),
+    )
+
+
+# =====================================================================
+# finalize: oracles that need generated SQL fragments
+# =====================================================================
+
+
+def _finalize() -> None:
+    from spacetime_crawler4py_spark.functions.stopwords import STOPWORDS
+    from spacetime_crawler4py_spark.functions.text_quality import LANG_MARKERS
+
+    stop_list = "[" + ", ".join(f"'{s.replace(chr(39), chr(39)*2)}'" for s in STOPWORDS) + "]"
+    ORACLES["f12_word_freq_minus_stopwords"] = f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+    WHERE NOT list_contains({stop_list}, word)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 50
+    """
+
+    # lang_id: marker-hit voting, ties in en>es>de>fr order
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+    hit_exprs = []
+    for lg, markers in LANG_MARKERS.items():
+        ml = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_exprs.append(
+            f"len(list_filter({toks}, t -> list_contains({ml}, t))) AS h_{lg}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND h_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    ORACLES["tq_lang_id"] = f"""
+    SELECT doc_id, {case} AS lang_pred
+    FROM (SELECT doc_id, {', '.join(hit_exprs)} FROM documents)
+    """
+
+    ORACLES["tq_quality_score"] = f"""
+    WITH feat AS (
+      SELECT doc_id,
+        len({toks}) AS n,
+        len(list_filter({toks}, t -> list_contains({stop_list}, t)))
+          / greatest(len({toks}), 1) AS stop_ratio,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+          / greatest(length(text), 1) AS p,
+        list_sum(list_transform({toks}, t -> length(t)))
+          / greatest(len({toks}), 1) AS mw
+      FROM documents
+    )
+    SELECT doc_id, ROUND((
+        least(n / 100.0, 1.0)
+      + least(stop_ratio * 3.0, 1.0)
+      + CASE WHEN p <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.1) * 5.0) END
+      + CASE WHEN mw >= 3.0 AND mw <= 8.0 THEN 1.0 ELSE 0.5 END
+    ) / 4.0, 4) AS q
+    FROM feat
+    """
+
+    # n-gram jaccard pairs: shingle generation via list comprehension
+    sh = (
+        "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), "
+        "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))"
+    )
+    ORACLES["dedup_ngram_jaccard_pairs"] = f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), sh_t AS (
+      SELECT doc_id, unnest({sh}) AS s FROM ws_t
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh_t GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh_t a JOIN sh_t b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.2
+    """
+
+
+_finalize()

@@ -1,0 +1,128 @@
+"""Structured Streaming surfaces of the engine.
+
+The reference's crawl loop is feedback-iterative (frontier output
+feeds frontier input), which a single linear streaming query cannot
+express (SURVEY §2.8 T1) — the batch driver loop in crawl/loop.py
+is the idiomatic shape for that.  What IS stream-shaped:
+
+- ``stream_page_ingest``   a pages stream (e.g. WARC drops landing
+  in a directory) → status/length gates → parse features →
+  append sink.  File-source + availableNow trigger ≡ incremental
+  batch; the same code runs continuously on a cluster.
+- ``stream_event_rollup``  watermarked tumbling-window aggregation
+  over an event stream (the streaming twin of the
+  t_hourly_event_rollup batch query).
+- ``stream_frontier_ingest``  foreachBatch micro-batch handler that
+  pushes each arriving link batch through the SAME dedup + commit
+  path as the batch engine (exactly-once via the FrontierStore
+  commit markers keyed by streaming batch id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.operators.parse import parse_pages
+
+
+def stream_page_ingest(
+    spark, in_dir: str, schema, out_dir: str, checkpoint_dir: str
+):
+    """pages files → gates → parse → parquet append (availableNow).
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    gated = src.where(
+        F.col("html").isNotNull()
+        & (F.length("text") >= 500)
+        & (F.length("text") <= 100_000)
+    )
+    feats = parse_pages(gated)
+    return (
+        feats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_rollup(events_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1-hour window per event_type.
+
+    Late rows beyond 2 hours are dropped; state is bounded by the
+    watermark — the standard streaming-agg memory contract.
+    """
+    # event-time watermarks require TIMESTAMP (parquet NTZ is cast)
+    events_stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_frontier_ingest(
+    spark, links_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Stream of candidate links → frontier via foreachBatch.
+
+    Each micro-batch runs the batch engine's link path (normalize →
+    validity → hash → dedup vs seen → append + commit).  The
+    FrontierStore marker doubles as the idempotency guard: a
+    replayed batch id is a no-op, preserving exactly-once.
+    """
+    from spacetime_crawler4py_spark.frontier.store import FrontierStore
+    from spacetime_crawler4py_spark.functions.urlnorm import (
+        col_netloc,
+        col_normalize,
+        col_urlhash,
+    )
+    from spacetime_crawler4py_spark.functions.validity import col_is_valid
+
+    store = FrontierStore(spark, state_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = 10_000_000 + batch_id  # streaming id namespace
+        if marker in set(store.committed_batches()):
+            return  # replay → no-op (exactly-once)
+        cand = (
+            batch_df.withColumn("url", col_normalize(F.col("url")))
+            .where(col_is_valid(F.col("url")))
+            .withColumn("url_hash", col_urlhash(F.col("url")))
+            .dropDuplicates(["url_hash"])
+        )
+        new = cand.join(store.seen_hashes(), "url_hash", "left_anti")
+        base = store.max_seq()
+        from pyspark.sql import Window
+
+        rows = new.withColumn(
+            "seq", F.lit(base) + F.row_number().over(Window.orderBy("url"))
+        ).select(
+            "url_hash",
+            "url",
+            col_netloc(F.col("url")).alias("host"),
+            "seq",
+            F.lit(None).cast("int").alias("depth"),
+            F.current_timestamp().alias("discovered_ts"),
+            F.lit(marker).cast("long").alias("batch_id"),
+        )
+        store.append_discovered(rows)
+        store.commit(marker, {"kind": "stream_ingest"})
+
+    return (
+        links_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,86 @@
+"""Structured Streaming surfaces: availableNow file-stream parse,
+watermarked rollup, foreachBatch frontier ingest (exactly-once)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.datagen.pages import PAGES_SCHEMA, write_corpus
+from spacetime_crawler4py_spark.streaming.pipeline import (
+    stream_event_rollup,
+    stream_frontier_ingest,
+    stream_page_ingest,
+)
+
+
+def test_stream_page_ingest(spark, tmp_path):
+    write_corpus(spark, str(tmp_path / "c"), n_pages=30, seed=42)
+    q = stream_page_ingest(
+        spark,
+        str(tmp_path / "c" / "pages.parquet"),
+        PAGES_SCHEMA,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n = out.count()
+    assert 0 < n <= 30  # length gates drop the tiny/huge pages
+    assert "links" in out.columns and "wc" in out.columns
+
+
+def test_stream_event_rollup_batch_parity(spark, tmp_path):
+    # run the streaming aggregation over a bounded file stream and
+    # compare with the batch twin
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    src = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+    agg = stream_event_rollup(src)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rollup_test")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    # append-mode emits only watermark-closed windows → subset of batch
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert g, "stream produced no closed windows"
+    assert all(b[k] == v for k, v in g.items())
+
+
+def test_stream_frontier_ingest_exactly_once(spark, tmp_path):
+    links = spark.createDataFrame(
+        [(f"https://www.ics.uci.edu/p{i}",) for i in range(20)]
+        + [("https://www.ics.uci.edu/p0",)]      # dup
+        + [("https://example.com/off",)],        # invalid
+        "url string",
+    )
+    links.write.mode("overwrite").parquet(str(tmp_path / "links"))
+    src = spark.readStream.schema("url string").parquet(str(tmp_path / "links"))
+    q = stream_frontier_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    from spacetime_crawler4py_spark.frontier.store import FrontierStore
+
+    store = FrontierStore(spark, str(tmp_path / "state"))
+    assert store.discovered().count() == 20  # dedup'd + validity-filtered
+
+    # replay the same stream with a fresh checkpoint → foreachBatch
+    # marker makes it a no-op (exactly-once)
+    src2 = spark.readStream.schema("url string").parquet(str(tmp_path / "links"))
+    q2 = stream_frontier_ingest(
+        spark, src2, str(tmp_path / "state"), str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert store.discovered().count() == 20
