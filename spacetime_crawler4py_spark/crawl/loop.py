@@ -69,6 +69,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_refresh_batches: int = 8,
         strict_reference_parity: bool = True,
+        robots_path: str | None = None,
+        revalidate_on_resume: bool = False,
     ):
         self.spark = spark
         self.store = FrontierStore(spark, state_dir)
@@ -80,6 +82,19 @@ class CrawlEngine:
         self.use_bloom = use_bloom and not strict_lifo
         self.bloom_refresh = bloom_refresh_batches
         self.parity = strict_reference_parity
+        # robots table (north_rule T6; absent in the reference):
+        # disallowed URLs are excluded at schedule time, and per-host
+        # crawl delays override the politeness default.
+        self.robots = (
+            spark.read.schema(
+                "host string, disallow_prefixes array<string>, crawl_delay_ms int"
+            ).parquet(robots_path)
+            if robots_path
+            else None
+        )
+        # F9 (crawler/frontier.py:43): on resume, pending rows are
+        # re-checked against is_valid before scheduling.
+        self.revalidate = revalidate_on_resume
         self._bloom = None
         self._bloom_age = 0
         # driver-tracked seq high-water mark: avoids a full scan of
@@ -155,6 +170,12 @@ class CrawlEngine:
     def run_batch(self, batch_id: int) -> dict:
         t0 = time.time()
         pending = self.store.pending()
+        if self.revalidate:
+            pending = pending.where(col_is_valid(F.col("url"), self.parity))
+        if self.robots is not None:
+            from spacetime_crawler4py_spark.frontier.robots import filter_allowed
+
+            pending = filter_allowed(pending, self.robots)
         if self.strict:
             batch = (
                 pending.orderBy(F.desc("seq"))
@@ -163,7 +184,10 @@ class CrawlEngine:
             )
         else:
             batch = next_batch(
-                pending, window_ms=self.window_ms, delay_ms=self.delay_ms
+                pending,
+                window_ms=self.window_ms,
+                delay_ms=self.delay_ms,
+                robots=self.robots,
             )
         batch = batch.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"

@@ -42,13 +42,22 @@ def next_batch(
     delay_ms: int = DEFAULT_DELAY_MS,
     max_urls: int | None = None,
     n_salts: int = 16,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """Select the next politeness-legal micro-batch, LIFO-ordered.
 
     Returns pending columns + ``fetch_order`` (0-based position in
-    the batch; the politeness scheduler's time axis).
+    the batch; the politeness scheduler's time axis).  When a
+    ``robots`` table is given, its ``crawl_delay_ms`` overrides the
+    default per-host delay (north_rule T6) and the per-host cap
+    becomes row-local: ``window_ms // crawl_delay_ms``.
     """
-    cap = per_host_cap(window_ms, delay_ms)
+    from spacetime_crawler4py_spark.frontier.robots import with_host_delay
+
+    pending = with_host_delay(pending, robots, default_delay_ms=delay_ms)
+    cap = F.greatest(
+        (F.lit(window_ms) / F.col("crawl_delay_ms")).cast("int"), F.lit(1)
+    )
 
     # Stage 1 (salted pre-cut): rank within (host, salt) shards —
     # the hot host's backlog is cut to cap rows per shard before the
@@ -67,7 +76,7 @@ def next_batch(
     capped = (
         pre.withColumn("_host_rank", F.row_number().over(w_host))
         .where(F.col("_host_rank") <= cap)
-        .drop("_host_rank")
+        .drop("_host_rank", "crawl_delay_ms")
     )
 
     # Stage 3 (LIFO order contract): global seq DESC.

@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions: the plans we designed for are the
+plans Catalyst actually produces (100-TB design invariants).
+
+These are regression tests against plan regressions — e.g. a future
+edit accidentally moving a cheap filter above the parse UDF, or a
+top-k decaying into a global sort.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_topk_plans_as_take_ordered(spark):
+    from spacetime_crawler4py_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _plan(brute_force_topk(emb, q, k=5))
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    # column pruning reaches the scan: label is not read
+    assert "label" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_jvm_gates_stay_below_parse_udf(spark):
+    """Status/length gates must execute BEFORE (= printed below) the
+    mapInPandas parse — UDFs are planning barriers (SURVEY §4)."""
+    from spacetime_crawler4py_spark.operators.parse import parse_pages
+
+    pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    gated = pages.where(F.length("text") >= 500)
+    plan = _plan(parse_pages(gated))
+    # formatted explain prints operators root-first: the parse
+    # (MapInPandas/ArrowEvalPython) must appear before its child
+    # filter in the text, i.e. the filter is UNDER the UDF
+    pos_udf = plan.find("MapInPandas")
+    pos_filter = plan.find("Filter")
+    assert pos_udf != -1 and pos_filter != -1
+    assert pos_udf < pos_filter, "gate filter must be a child of the parse UDF"
+
+
+def test_small_dim_joins_broadcast(spark):
+    from spacetime_crawler4py_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q5_revenue_by_nation"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dims must broadcast, not SMJ"
+
+
+def test_anti_join_for_dedup(spark):
+    from spacetime_crawler4py_spark.queries import QUERIES
+
+    plan = _plan(
+        QUERIES["j1_customers_without_orders"](spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftAnti" in plan
