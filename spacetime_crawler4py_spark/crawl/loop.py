@@ -192,10 +192,16 @@ class CrawlEngine:
         batch = batch.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"
         ).cache()
-        n_batch = batch.count()
+        # ONE action materializes the batch AND hands the driver the
+        # (politeness-bounded, small) schedule — n_batch, the crawl
+        # order and the completion flips all derive from it with no
+        # further Spark jobs.
+        batch_rows = batch.select("url_hash", "url", "fetch_order").collect()
+        n_batch = len(batch_rows)
         if n_batch == 0:
             batch.unpersist()
             return {"n_batch": 0}
+        batch_rows.sort(key=lambda r: r["fetch_order"])
 
         # ---- fetch join (J2): broadcast the small batch side
         b = F.broadcast(batch.withColumn("_fetch_key", col_defragment(F.col("url"))))
@@ -240,11 +246,15 @@ class CrawlEngine:
             ).write.mode("append").parquet(os.path.join(self.state_dir, "crawled_pages"))
         )
 
-        # ---- crawl-order log (golden: Logs/Worker.log "Downloaded" lines)
-        (
-            batch.select(
-                F.lit(batch_id).cast("long").alias("batch_id"), "fetch_order", "url"
-            ).write.mode("append").parquet(os.path.join(self.state_dir, "crawl_order"))
+        # ---- crawl-order log (golden: Logs/Worker.log "Downloaded"
+        # lines) — driver-side pyarrow append, no Spark job
+        self.store.append_rows(
+            "crawl_order",
+            batch_id,
+            {
+                "fetch_order": [int(r["fetch_order"]) for r in batch_rows],
+                "url": [r["url"] for r in batch_rows],
+            },
         )
 
         # ---- link pipeline: P1 normalize → F1-F4 validity → P2 hash
@@ -305,27 +315,26 @@ class CrawlEngine:
             )
         )
         new_rows = new_rows.cache()
-        n_new = new_rows.count()
+        # one action: materialize + pull the new hashes for the bloom
+        # sync and the count (batch-local, politeness-bounded; at
+        # cluster scale this becomes a distributed partial-bloom
+        # build + OR-merge, same as build_bloom)
+        new_hashes = [r["url_hash"] for r in new_rows.select("url_hash").collect()]
+        n_new = len(new_hashes)
         if n_new:
             self._max_seq = base + n_new
             self.store.append_discovered(new_rows)
             if self.use_bloom and self._bloom is not None:
-                # keep the broadcast bloom exactly in sync with the
-                # discovered log (sandbox: collect the batch's new
-                # hashes — politeness-bounded; at cluster scale this
-                # is a distributed partial-bloom build + OR-merge,
-                # same as build_bloom)
                 import pandas as pd
 
-                hashes = pd.Series(
-                    [r["url_hash"] for r in new_rows.select("url_hash").collect()]
-                )
-                self._bloom.add_series(hashes)
+                self._bloom.add_series(pd.Series(new_hashes))
                 self._bloom_age += 1
 
-        # ---- completions (T5: idempotent flips)
-        self.store.append_completed(
-            batch.select("url_hash", F.lit(batch_id).cast("long").alias("batch_id"))
+        # ---- completions (T5: idempotent flips) — driver-side append
+        self.store.append_rows(
+            "completed",
+            batch_id,
+            {"url_hash": [r["url_hash"] for r in batch_rows]},
         )
 
         wall_ms = int((time.time() - t0) * 1000)
@@ -335,10 +344,11 @@ class CrawlEngine:
             "wall_ms": wall_ms,
         }
         # ---- per-batch metrics/lineage row (north_rule)
-        self.spark.createDataFrame(
-            [(batch_id, n_batch, n_new, wall_ms)],
-            "batch_id long, n_fetched long, n_new_urls long, wall_ms long",
-        ).write.mode("append").parquet(os.path.join(self.state_dir, "metrics"))
+        self.store.append_rows(
+            "metrics",
+            batch_id,
+            {"n_fetched": [n_batch], "n_new_urls": [n_new], "wall_ms": [wall_ms]},
+        )
 
         self.store.commit(batch_id, meta)
         parsed.unpersist()

@@ -158,3 +158,25 @@ class FrontierStore:
         df.select("url_hash", "batch_id").write.mode("append").parquet(
             os.path.join(self.dir, "completed")
         )
+
+    # ---------------------------------------------- driver-side appends
+
+    def append_rows(self, name: str, batch_id: int, columns: dict) -> None:
+        """Append driver-known rows as ONE parquet file via pyarrow —
+        no Spark job.  Used for the small per-batch logs (completed
+        hashes, crawl order, metrics), whose contents the driver
+        already holds; a Spark write here would cost a full job
+        launch to move kilobytes.  Files are still plain parquet in
+        the same directory layout, so Spark reads them unchanged."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.dir, name)
+        os.makedirs(path, exist_ok=True)
+        n = len(next(iter(columns.values()))) if columns else 0
+        data = dict(columns)
+        data["batch_id"] = [int(batch_id)] * n
+        table = pa.table(data)
+        pq.write_table(
+            table, os.path.join(path, f"part-{batch_id:08d}-{os.getpid()}.parquet")
+        )

@@ -756,6 +756,132 @@ def emb_centroids(spark, sf_dir):
 
 
 # =====================================================================
+# grouped postings, sessionization, rollup, stemming
+# =====================================================================
+
+
+@_q(
+    "a9_grouped_postings",
+    f"""
+    SELECT word,
+           string_agg(CAST(doc_id AS VARCHAR(30)) || ':' || CAST(n AS VARCHAR(30)),
+                      '|' ORDER BY doc_id) AS postings
+    FROM (
+      SELECT word, doc_id, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
+      GROUP BY word, doc_id
+    )
+    GROUP BY word
+    HAVING COUNT(*) >= 100
+    """,
+)
+def a9_grouped(spark, sf_dir):
+    """A9: token → grouped posting list (indexerV1.py:264-278), the
+    on-disk index format as a deterministic 'doc:count|…' string
+    (collect_list + sort ≡ string_agg ORDER BY)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    per_doc = toks.groupBy("word", "doc_id").agg(F.count("*").alias("n"))
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "doc_id",
+                            F.concat_ws(
+                                ":", F.col("doc_id").cast("string"), F.col("n").cast("string")
+                            ).alias("s"),
+                        )
+                    )
+                ).s,
+                "|",
+            ).alias("postings"),
+            F.count("*").alias("_df"),
+        )
+        .where(F.col("_df") >= 100)
+        .select("word", "postings")
+    )
+
+
+@_q(
+    "w_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids via lag + running sum
+    (the batch twin of a session-window streaming agg)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("_ts_s") - F.lag(F.col("_ts_s")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_q(
+    "r_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def r_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (grouping-sets family)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 3).alias("total")
+    )
+
+
+@_q("p12_porter_stems", None)  # Porter has no SQL twin → rows-only
+def p12_stems(spark, sf_dir):
+    """P12: Porter stemming over document tokens (pandas UDF)."""
+    from spacetime_crawler4py_spark.functions.porter import pdf_stem
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    ).distinct()
+    return toks.select("word", pdf_stem(F.col("word")).alias("stem"))
+
+
+# =====================================================================
 # finalize: oracles that need generated SQL fragments
 # =====================================================================
 

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def _best(fn, n: int = 2) -> float:
+def _best(fn, n: int = 3) -> float:
     """Best-of-n wall time: damps scheduler/GC noise between JVMs."""
     best = float("inf")
     for _ in range(n):
