@@ -67,6 +67,7 @@ class CrawlEngine:
         window_ms: int = 32_000,
         delay_ms: int = 500,
         use_bloom: bool = True,
+        seen_filter: str = "bloom",  # "bloom" | "cuckoo"
         bloom_refresh_batches: int = 8,
         strict_reference_parity: bool = True,
         robots_path: str | None = None,
@@ -80,6 +81,7 @@ class CrawlEngine:
         self.window_ms = window_ms
         self.delay_ms = delay_ms
         self.use_bloom = use_bloom and not strict_lifo
+        self.seen_filter_kind = seen_filter
         self.bloom_refresh = bloom_refresh_batches
         self.parity = strict_reference_parity
         # robots table (north_rule T6; absent in the reference):
@@ -287,8 +289,17 @@ class CrawlEngine:
         if self.use_bloom:
             if self._bloom is None or self._bloom_age >= self.bloom_refresh:
                 # periodic rebuild re-sizes the filter as the
-                # frontier grows (keeps fpp bounded)
-                self._bloom = build_bloom(seen)
+                # frontier grows (keeps fpp bounded); kind per
+                # north_rule "bloom/cuckoo" — cuckoo adds O(1)
+                # delete for URL expiry/recrawl semantics
+                if self.seen_filter_kind == "cuckoo":
+                    from spacetime_crawler4py_spark.frontier.cuckoo import (
+                        build_cuckoo,
+                    )
+
+                    self._bloom = build_cuckoo(seen)
+                else:
+                    self._bloom = build_bloom(seen)
                 self._bloom_age = 0
             probed = with_might_contain(candidates, self._bloom, self.spark)
             fresh = probed.where(~F.col("might_be_seen")).drop("might_be_seen")

@@ -93,18 +93,22 @@ def build_bloom(seen: DataFrame, hash_col: str = "url_hash", fpp: float = 0.01) 
 
 
 def with_might_contain(
-    df: DataFrame, bloom: BloomFilter, spark, hash_col: str = "url_hash",
+    df: DataFrame, seen_filter, spark, hash_col: str = "url_hash",
     out_col: str = "might_be_seen",
 ) -> DataFrame:
-    """Add the bloom-probe column via a broadcast bitmap + pandas UDF."""
-    b = spark.sparkContext.broadcast((bloom.n_bits, bloom.k, bloom.bits.tobytes()))
+    """Add the membership-probe column via a broadcast filter +
+    Arrow-batched pandas UDF.
+
+    ``seen_filter`` is any object with a vectorized
+    ``contains_series(pd.Series) -> np.ndarray`` — the BloomFilter
+    here or frontier.cuckoo.CuckooFilter (both are
+    numpy-array-backed and broadcast-picklable)."""
+    b = spark.sparkContext.broadcast(seen_filter)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())
     def probe(hashes: pd.Series) -> pd.Series:
-        n_bits, k, raw = b.value
-        bf = BloomFilter(n_bits, k, np.frombuffer(raw, dtype=np.uint8))
-        return pd.Series(bf.contains_series(hashes.astype(str)))
+        return pd.Series(b.value.contains_series(hashes.astype(str)))
 
     return df.withColumn(out_col, probe(F.col(hash_col)))

@@ -1,0 +1,133 @@
+"""Cuckoo filter over the URL-seen set (the north_rule's
+"bloom/cuckoo" alternative to frontier/bloom.py).
+
+Standard partial-key cuckoo hashing (Fan et al., "Cuckoo Filter:
+Practically Better Than Bloom", CoNEXT 2014): m buckets × 4 slots of
+16-bit fingerprints; a key lives in bucket ``i1 = h mod m`` or its
+partner ``i2 = i1 XOR (hash(fp) mod m)`` — the XOR trick makes the
+partner computable from (bucket, fp) alone, enabling eviction
+chains AND deletion, which a bloom filter cannot do.
+
+Why it exists next to the bloom: same dedup contract (no false
+negatives while membership is a superset; exact anti-join catches
+false positives), plus O(1) DELETE — a frontier that expires or
+re-crawls URLs (revalidation, recrawl-after-TTL) can remove entries
+without a full rebuild.  Lookup is numpy-vectorized for the
+broadcast probe; inserts are driver-side (they happen once per
+committed batch on the politeness-bounded delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_SLOTS = 4
+_MAX_KICKS = 500
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooFilter:
+    def __init__(self, n_buckets: int):
+        # power-of-two bucket count → mod is a mask, and i1^delta
+        # stays in range
+        self.n_buckets = 1 << int(np.ceil(np.log2(max(n_buckets, 8))))
+        self.table = np.zeros((self.n_buckets, _SLOTS), dtype=np.uint16)
+        self._mask = np.uint64(self.n_buckets - 1)
+
+    @staticmethod
+    def sized_for(n_items: int, load: float = 0.84) -> "CuckooFilter":
+        return CuckooFilter(max(8, int(n_items / load / _SLOTS) + 1))
+
+    # ---- key → (fingerprint, i1, i2), all from the sha256 hex key
+
+    def _parts_series(self, hex_hashes: pd.Series):
+        h1 = hex_hashes.str.slice(0, 15).apply(int, base=16).to_numpy(dtype=np.uint64)
+        fp = (
+            hex_hashes.str.slice(15, 19).apply(int, base=16).to_numpy(dtype=np.uint64)
+            % 65535
+            + 1
+        ).astype(np.uint16)
+        i1 = (h1 & self._mask).astype(np.uint64)
+        i2 = (i1 ^ ((fp.astype(np.uint64) * _FP_MIX) & self._mask)) & self._mask
+        return fp, i1, i2
+
+    def _alt(self, i: int, fp: int) -> int:
+        return int(
+            (np.uint64(i) ^ ((np.uint64(fp) * _FP_MIX) & self._mask)) & self._mask
+        )
+
+    # ------------------------------------------------------------ ops
+
+    def add_series(self, hex_hashes: pd.Series, rng_seed: int = 42) -> None:
+        fps, i1s, i2s = self._parts_series(hex_hashes)
+        rng = np.random.default_rng(rng_seed)
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            if self._insert(int(fp), int(i1), int(i2), rng):
+                continue
+            raise RuntimeError(
+                "cuckoo filter full — size it with sized_for(expected_n)"
+            )
+
+    def _insert(self, fp: int, i1: int, i2: int, rng) -> bool:
+        for i in (i1, i2):
+            row = self.table[i]
+            if (row == fp).any():  # already present (idempotent add)
+                return True
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # evict: random walk
+        i = i1 if rng.integers(2) else i2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = int(rng.integers(_SLOTS))
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False
+
+    def contains_series(self, hex_hashes: pd.Series) -> np.ndarray:
+        if len(hex_hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s, i2s = self._parts_series(hex_hashes)
+        t = self.table
+        in1 = (t[i1s.astype(np.int64)] == fps[:, None]).any(axis=1)
+        in2 = (t[i2s.astype(np.int64)] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_series(self, hex_hashes: pd.Series) -> int:
+        """Remove entries (the capability blooms lack). Returns the
+        number actually removed."""
+        fps, i1s, i2s = self._parts_series(hex_hashes)
+        removed = 0
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            for i in (int(i1), int(i2)):
+                row = self.table[i]
+                hit = np.flatnonzero(row == fp)
+                if len(hit):
+                    row[hit[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+
+def build_cuckoo(seen, hash_col: str = "url_hash") -> CuckooFilter:
+    """Build from a DataFrame of hex hashes.
+
+    Inserts are inherently sequential (eviction chains), so the
+    build collects the key column — at 10^10 scale you shard by the
+    frontier's host_bucket and build per-shard filters in parallel
+    workers, then broadcast the shard map; the probe side
+    (contains_series) is what must be vectorized, and is.
+    """
+    rows = [r[hash_col] for r in seen.select(hash_col).collect()]
+    cf = CuckooFilter.sized_for(max(len(rows), 1024))
+    if rows:
+        cf.add_series(pd.Series(rows))
+    return cf

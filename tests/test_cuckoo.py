@@ -1,0 +1,80 @@
+"""Cuckoo filter: no false negatives, deletion, capacity, vectorized probe."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spacetime_crawler4py_spark.frontier.cuckoo import CuckooFilter
+
+
+def _hexes(keys):
+    return pd.Series([hashlib.sha256(k.encode()).hexdigest() for k in keys])
+
+
+@given(st.lists(st.text(min_size=3, max_size=40), min_size=1, max_size=400, unique=True))
+@settings(max_examples=25)
+def test_no_false_negatives(keys):
+    cf = CuckooFilter.sized_for(len(keys))
+    h = _hexes(keys)
+    cf.add_series(h)
+    assert cf.contains_series(h).all()
+
+
+def test_delete_then_absent():
+    keys = [f"url-{i}" for i in range(500)]
+    cf = CuckooFilter.sized_for(len(keys))
+    h = _hexes(keys)
+    cf.add_series(h)
+    victims = h.iloc[:100]
+    assert cf.delete_series(victims) == 100
+    assert not cf.contains_series(victims).any()
+    assert cf.contains_series(h.iloc[100:]).all()
+
+
+def test_low_false_positive_rate():
+    keys = [f"seen-{i}" for i in range(5000)]
+    cf = CuckooFilter.sized_for(len(keys))
+    cf.add_series(_hexes(keys))
+    probe = _hexes([f"unseen-{i}" for i in range(5000)])
+    fpr = cf.contains_series(probe).mean()
+    assert fpr < 0.01  # 16-bit fingerprints → ~2^-13 per bucket pair
+
+
+def test_overfull_raises():
+    cf = CuckooFilter(8)  # 8 buckets x 4 slots = 32 capacity
+    with pytest.raises(RuntimeError):
+        cf.add_series(_hexes([f"k{i}" for i in range(200)]))
+
+
+def test_idempotent_add():
+    keys = ["a", "b", "c"]
+    cf = CuckooFilter.sized_for(16)
+    cf.add_series(_hexes(keys))
+    cf.add_series(_hexes(keys))  # re-add is a no-op
+    assert cf.contains_series(_hexes(keys)).all()
+    assert cf.delete_series(_hexes(["a"])) == 1
+
+
+def test_crawl_with_cuckoo_seen_filter(spark, corpus80, oracle80, tmp_path):
+    """Engine with the cuckoo seen-set produces the exact oracle
+    URL-seen set (same contract as the bloom path)."""
+    from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
+    from spacetime_crawler4py_spark.datagen.pages import SEED_URLS
+
+    corpus_dir, _ = corpus80
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        pages_path=f"{corpus_dir}/pages.parquet",
+        status_path=f"{corpus_dir}/fetch_status.parquet",
+        seeds=SEED_URLS,
+        seen_filter="cuckoo",
+        bloom_refresh_batches=2,  # force a mid-crawl rebuild too
+    )
+    eng.run()
+    assert eng.seen_set() == set(oracle80.seen.keys())
