@@ -822,8 +822,9 @@ def a9_grouped(spark, sf_dir):
       FROM events
     ), sess AS (
       SELECT user_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
