@@ -72,6 +72,7 @@ class CrawlEngine:
         strict_reference_parity: bool = True,
         robots_path: str | None = None,
         revalidate_on_resume: bool = False,
+        order: str = "lifo",  # "lifo" (reference parity) | "fifo_per_host"
     ):
         self.spark = spark
         self.store = FrontierStore(spark, state_dir)
@@ -84,6 +85,7 @@ class CrawlEngine:
         self.seen_filter_kind = seen_filter
         self.bloom_refresh = bloom_refresh_batches
         self.parity = strict_reference_parity
+        self.order = order
         # robots table (north_rule T6; absent in the reference):
         # disallowed URLs are excluded at schedule time, and per-host
         # crawl delays override the politeness default.
@@ -190,6 +192,7 @@ class CrawlEngine:
                 window_ms=self.window_ms,
                 delay_ms=self.delay_ms,
                 robots=self.robots,
+                order=self.order,
             )
         batch = batch.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"
@@ -198,7 +201,7 @@ class CrawlEngine:
         # (politeness-bounded, small) schedule — n_batch, the crawl
         # order and the completion flips all derive from it with no
         # further Spark jobs.
-        batch_rows = batch.select("url_hash", "url", "fetch_order").collect()
+        batch_rows = batch.select("url_hash", "url", "host", "fetch_order").collect()
         n_batch = len(batch_rows)
         if n_batch == 0:
             batch.unpersist()
@@ -330,7 +333,8 @@ class CrawlEngine:
         # sync and the count (batch-local, politeness-bounded; at
         # cluster scale this becomes a distributed partial-bloom
         # build + OR-merge, same as build_bloom)
-        new_hashes = [r["url_hash"] for r in new_rows.select("url_hash").collect()]
+        new_collected = new_rows.select("url_hash", "host").collect()
+        new_hashes = [r["url_hash"] for r in new_collected]
         n_new = len(new_hashes)
         if n_new:
             self._max_seq = base + n_new
@@ -354,11 +358,31 @@ class CrawlEngine:
             "n_new": n_new,
             "wall_ms": wall_ms,
         }
-        # ---- per-batch metrics/lineage row (north_rule)
+        # ---- per-batch metrics + per-host (partition-key) lineage
+        # (north_rule: "per-partition lineage/metrics"); both derive
+        # from already-collected rows — no extra Spark jobs
         self.store.append_rows(
             "metrics",
             batch_id,
             {"n_fetched": [n_batch], "n_new_urls": [n_new], "wall_ms": [wall_ms]},
+        )
+        sched_by_host: dict[str, int] = {}
+        for r in batch_rows:
+            h = r["host"] or ""
+            sched_by_host[h] = sched_by_host.get(h, 0) + 1
+        new_by_host: dict[str, int] = {}
+        for r in new_collected:
+            h = r["host"] or ""
+            new_by_host[h] = new_by_host.get(h, 0) + 1
+        hosts = sorted(set(sched_by_host) | set(new_by_host))
+        self.store.append_rows(
+            "lineage",
+            batch_id,
+            {
+                "host": hosts,
+                "n_scheduled": [sched_by_host.get(h, 0) for h in hosts],
+                "n_new_urls": [new_by_host.get(h, 0) for h in hosts],
+            },
         )
 
         self.store.commit(batch_id, meta)

@@ -43,21 +43,38 @@ def next_batch(
     max_urls: int | None = None,
     n_salts: int = 16,
     robots: DataFrame | None = None,
+    order: str = "lifo",  # "lifo" | "fifo_per_host"
 ) -> DataFrame:
-    """Select the next politeness-legal micro-batch, LIFO-ordered.
+    """Select the next politeness-legal micro-batch.
 
     Returns pending columns + ``fetch_order`` (0-based position in
     the batch; the politeness scheduler's time axis).  When a
     ``robots`` table is given, its ``crawl_delay_ms`` overrides the
     default per-host delay (north_rule T6) and the per-host cap
     becomes row-local: ``window_ms // crawl_delay_ms``.
+
+    Ordering modes:
+    - ``lifo`` (default): global seq DESC — byte-for-byte the
+      reference's stack order at batch_size=1 (crawler/
+      frontier.py:50-54; what the golden order test pins).
+    - ``fifo_per_host``: priority-queue semantics — within each
+      host the OLDEST discovered URL schedules first (seq ASC),
+      hosts interleave by their heads' seq.  This is the
+      starvation-free ordering a production frontier wants: a hot
+      host's deep backlog cannot indefinitely delay early
+      discoveries, while politeness caps still bound each host's
+      share of the batch.
     """
     from spacetime_crawler4py_spark.frontier.robots import with_host_delay
 
+    if order not in ("lifo", "fifo_per_host"):
+        raise ValueError(f"unknown scheduling order {order!r}: use 'lifo' or 'fifo_per_host'")
     pending = with_host_delay(pending, robots, default_delay_ms=delay_ms)
     cap = F.greatest(
         (F.lit(window_ms) / F.col("crawl_delay_ms")).cast("int"), F.lit(1)
     )
+
+    seq_order = F.desc("seq") if order == "lifo" else F.asc("seq")
 
     # Stage 1 (salted pre-cut): rank within (host, salt) shards —
     # the hot host's backlog is cut to cap rows per shard before the
@@ -65,22 +82,23 @@ def next_batch(
     salt = F.pmod(F.xxhash64("url_hash"), F.lit(n_salts))
     pre = (
         pending.withColumn("_shard_rank", F.row_number().over(
-            Window.partitionBy("host", salt).orderBy(F.desc("seq"))
+            Window.partitionBy("host", salt).orderBy(seq_order)
         ))
         .where(F.col("_shard_rank") <= cap)
         .drop("_shard_rank")
     )
 
     # Stage 2 (exact per-host cap): ≤ cap × n_salts rows per host now.
-    w_host = Window.partitionBy("host").orderBy(F.desc("seq"))
+    w_host = Window.partitionBy("host").orderBy(seq_order)
     capped = (
         pre.withColumn("_host_rank", F.row_number().over(w_host))
         .where(F.col("_host_rank") <= cap)
         .drop("_host_rank", "crawl_delay_ms")
     )
 
-    # Stage 3 (LIFO order contract): global seq DESC.
-    w_all = Window.orderBy(F.desc("seq"))
+    # Stage 3 (batch order contract): lifo → global seq DESC;
+    # fifo_per_host → priority queue by per-host head age.
+    w_all = Window.orderBy(seq_order)
     batch = capped.withColumn("fetch_order", F.row_number().over(w_all) - 1)
     if max_urls is not None:
         batch = batch.where(F.col("fetch_order") < max_urls)

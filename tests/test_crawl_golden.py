@@ -76,3 +76,30 @@ def test_uncommitted_batch_invisible(spark, corpus80, engine80, tmp_path):
     # resumed crawl still converges to the full seen set
     eng2.run()
     assert eng2.seen_set() == engine80.seen_set()
+
+
+def test_fifo_per_host_converges_to_same_seen_set(spark, corpus80, oracle80, tmp_path):
+    """fifo_per_host scheduling (priority-queue mode) reaches the
+    same transitive closure — the URL-seen set is order-free."""
+    corpus_dir, _ = corpus80
+    eng = _engine(spark, tmp_path / "state", corpus_dir, order="fifo_per_host")
+    eng.run()
+    assert eng.seen_set() == set(oracle80.seen.keys())
+    # first fetch under FIFO is the FIRST seed (LIFO starts at the last)
+    assert eng.crawl_order()[0] == "https://www.ics.uci.edu"
+
+
+def test_lineage_table(spark, corpus80, tmp_path):
+    """Per-host lineage rows accompany every committed batch."""
+    import os
+
+    corpus_dir, _ = corpus80
+    eng = _engine(spark, tmp_path / "state", corpus_dir)
+    eng.run(max_batches=2)
+    lineage = spark.read.parquet(os.path.join(str(tmp_path / "state"), "lineage"))
+    rows = lineage.collect()
+    assert {r["batch_id"] for r in rows} == {1, 2}
+    assert all(r["n_scheduled"] >= 0 and r["n_new_urls"] >= 0 for r in rows)
+    total_sched = sum(r["n_scheduled"] for r in rows)
+    m = spark.read.parquet(os.path.join(str(tmp_path / "state"), "metrics")).collect()
+    assert total_sched == sum(r["n_fetched"] for r in m)
