@@ -725,6 +725,46 @@ def ann_brute(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def emb_neardup(spark, sf_dir):
+    """Embedding near-dup pairs, exact variant (the correctness
+    baseline of operators.dedup.embedding_neardup_pairs — the LSH
+    bucket path is its scale twin).  Double-precision cosine on
+    both engines so the threshold boundary agrees bit-for-bit."""
+    from spacetime_crawler4py_spark.operators.dedup import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .where(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    )
+
+
+@_q("knn_graph_sample", None)  # LSH-bucketed approximate k-NN (no SQL twin)
+def knn_graph(spark, sf_dir):
+    from spacetime_crawler4py_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_join(e, k=3, n_planes=6, dim=64).select(
+        "vec_id", "neighbor_id", F.round("score", 4).alias("score")
+    )
+
+
 @_q("ann_lsh_top20", None)  # LSH bucket path (scale variant; no SQL twin)
 def ann_lsh(spark, sf_dir):
     from spacetime_crawler4py_spark.operators.similarity import lsh_topk
