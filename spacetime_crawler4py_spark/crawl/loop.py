@@ -410,6 +410,27 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
+    def expire_urls(self, urls: list[str]) -> int:
+        """Recrawl/TTL expiry: make completed URLs PENDING again.
+
+        Appends to the expired log (append-only revocation — the
+        state-machine twin of the cuckoo filter's delete) and
+        commits a marker batch.  The next run() re-fetches them in
+        seq order.  Returns the number of URLs expired.
+        """
+        from spacetime_crawler4py_spark.functions.urlnorm import (
+            py_normalize,
+            py_urlhash,
+        )
+
+        hashes = [py_urlhash(py_normalize(u)) for u in urls]
+        batch_id = self.store.last_batch_id() + 1
+        self.store.append_rows("expired", batch_id, {"url_hash": hashes})
+        self.store.commit(batch_id, {"kind": "expire", "n": len(hashes)})
+        return len(hashes)
+
+    # ------------------------------------------------------------------
+
     def crawl_order(self) -> list[str]:
         path = os.path.join(self.state_dir, "crawl_order")
         if not os.path.exists(path):

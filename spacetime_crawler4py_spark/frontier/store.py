@@ -121,14 +121,44 @@ class FrontierStore:
     def completed(self) -> DataFrame:
         return self._read("completed", COMPLETED_SCHEMA)
 
+    def expired(self) -> DataFrame:
+        """Recrawl/TTL expiry log: completions revoked append-only.
+
+        A completion flip 'undone' without mutating the completed
+        log: effective-completed = completed rows whose batch_id is
+        NOT superseded by a later expiry of the same url_hash.  This
+        is the table twin of the cuckoo filter's delete — both keep
+        the state machine append-only (Iceberg-friendly) while
+        letting a URL become PENDING again.
+        """
+        return self._read("expired", COMPLETED_SCHEMA)
+
     def pending(self) -> DataFrame:
-        """PENDING = discovered minus completed (left anti join).
+        """PENDING = discovered minus effective completions.
 
         The join key url_hash is high-cardinality and uniform
         (sha256) — no skew; broadcast chosen automatically when the
-        completed side is small early in the crawl.
+        completed side is small early in the crawl.  A url is
+        effectively completed iff its latest completion is newer
+        than its latest expiry (re-fetch after expiry completes it
+        again).
         """
-        return self.discovered().join(self.completed(), "url_hash", "left_anti")
+        if not os.path.exists(os.path.join(self.dir, "expired")):
+            # fast path (no expiry ever issued): plain anti-join —
+            # no extra aggregation shuffle in the steady-state loop
+            return self.discovered().join(
+                self.completed(), "url_hash", "left_anti"
+            )
+        comp = self.completed().groupBy("url_hash").agg(
+            F.max("batch_id").alias("_c")
+        )
+        exp = self.expired().groupBy("url_hash").agg(F.max("batch_id").alias("_e"))
+        effective = (
+            comp.join(exp, "url_hash", "left")
+            .where(F.col("_e").isNull() | (F.col("_c") > F.col("_e")))
+            .select("url_hash")
+        )
+        return self.discovered().join(effective, "url_hash", "left_anti")
 
     def seen_hashes(self) -> DataFrame:
         return self.discovered().select("url_hash")

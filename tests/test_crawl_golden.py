@@ -103,3 +103,25 @@ def test_lineage_table(spark, corpus80, tmp_path):
     total_sched = sum(r["n_scheduled"] for r in rows)
     m = spark.read.parquet(os.path.join(str(tmp_path / "state"), "metrics")).collect()
     assert total_sched == sum(r["n_fetched"] for r in m)
+
+
+def test_expire_and_recrawl(spark, corpus80, tmp_path):
+    """TTL/recrawl: expired URLs become PENDING again, are re-fetched,
+    and completing them again settles the state (T5 idempotency with
+    the append-only expiry log)."""
+    corpus_dir, _ = corpus80
+    eng = _engine(spark, tmp_path / "state", corpus_dir)
+    eng.run()
+    order1 = eng.crawl_order()
+    n1 = len(order1)
+    victims = sorted({u for u in order1 if "ngs.ics.uci.edu" in u})[:5]
+    assert victims
+    assert eng.expire_urls(victims) == len(victims)
+    assert eng.store.pending().count() == len(victims)
+    eng.run()
+    order2 = eng.crawl_order()
+    assert len(order2) == n1 + len(victims)          # re-fetched once
+    assert eng.store.pending().count() == 0          # settled
+    assert eng.seen_set() == _engine(
+        spark, tmp_path / "state", corpus_dir
+    ).seen_set()                                     # seen set unchanged
