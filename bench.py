@@ -38,7 +38,7 @@ HEADLINE = [
     "ann_cosine_top20",
 ]
 
-BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1500"))
+BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
 
 
 def _bench_corpus_dir(spark) -> str:

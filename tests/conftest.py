@@ -57,11 +57,16 @@ def engine80(spark, corpus80, tmp_path_factory):
 def spark():
     from spacetime_crawler4py_spark.session import get_spark
 
+    import tempfile
+
     s = get_spark(
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.session.timeZone": "UTC"},
+        extra_conf={
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     yield s
 

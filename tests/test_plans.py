@@ -76,3 +76,37 @@ def test_anti_join_for_dedup(spark):
         QUERIES["j1_customers_without_orders"](spark, "/root/testdata/sf0.001")
     )
     assert "LeftAnti" in plan
+
+
+def test_bucketed_join_is_colocated(spark, tmp_path):
+    """Bucketed tables co-locate the join: no Exchange on either
+    side (`Bucketed: true`), while the unbucketed twin shuffles
+    both — the pre-partitioning strategy SCALE.md prescribes for
+    the frontier logs and postings table."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed_t")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bucketed_t")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        bucketed = spark.table("li_bucketed_t").join(
+            spark.table("o_bucketed_t"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan_b = _plan(bucketed)
+        assert "Bucketed: true" in plan_b
+        assert "Exchange" not in plan_b, "bucketed join must not shuffle"
+
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan_p = _plan(plain)
+        assert plan_p.count("Exchange") >= 2, "unbucketed twin shuffles both sides"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed_t")
