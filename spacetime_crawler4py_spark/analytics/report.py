@@ -118,3 +118,15 @@ def write_report_files(crawled: DataFrame, out_dir: str) -> None:
         f.write(
             "".join(f"{r['url_defrag']}, {r['n_links']}\n" for r in subs)
         )
+
+    # composite answers file ("Answers to Questions.txt" shape)
+    with open(os.path.join(out_dir, "Answers to Questions.txt"), "w") as f:
+        f.write(f"1. Unique pages (defragmented URL): {len(pages)}\n\n")
+        f.write("2. Longest page by word count:\n")
+        for r in lp:
+            f.write(f"   {r['url_defrag']} -> {r['wc']} words\n")
+        f.write("\n3. Top 50 common words (minus stopwords):\n")
+        for r in top:
+            f.write(f"   '{r['word']}' : {r['count']}\n")
+        f.write(f"\n4. ics.uci.edu pages with unique-link counts: {len(subs)} entries")
+        f.write(" (full table in icsSubDomains.txt)\n")

@@ -908,6 +908,35 @@ def r_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "r_cube_events",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id % 5 AS BIGINT), -1) AS user_mod,
+           COUNT(*) AS n, ROUND(SUM(value), 3) AS total
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 5 AS BIGINT))
+    """,
+)
+def r_cube(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations); subtotal
+    rows' NULL keys sentineled so the cross-engine value hash is
+    NaN-free."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 5).cast("long")
+    )
+    return (
+        e.cube("event_type", "user_mod")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_mod"), F.lit(-1)).alias("user_mod"),
+            "n",
+            "total",
+        )
+    )
+
+
 @_q("p12_porter_stems", None)  # Porter has no SQL twin → rows-only
 def p12_stems(spark, sf_dir):
     """P12: Porter stemming over document tokens (pandas UDF)."""

@@ -53,3 +53,11 @@ def test_report_files_golden_format(engine80, oracle80, tmp_path):
     assert len(subs) == len(oracle80.ics_subdomains)
     urls = [l.split(", ")[0] for l in subs]
     assert urls == sorted(urls)
+
+
+def test_answers_composite_file(engine80, oracle80, tmp_path):
+    R.write_report_files(engine80.crawled_pages(), str(tmp_path))
+    a = (tmp_path / "Answers to Questions.txt").read_text()
+    assert f"Unique pages (defragmented URL): {len(oracle80.unique_pages)}" in a
+    [(url, wc)] = oracle80.longest_page.items()
+    assert f"{url} -> {wc} words" in a
