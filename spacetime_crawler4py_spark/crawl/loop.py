@@ -290,21 +290,47 @@ class CrawlEngine:
         # set equals the reference's exactly (no false negatives).
         seen = self.store.seen_hashes()
         if self.use_bloom:
+            sharded = self.seen_filter_kind == "bloom_sharded"
             if self._bloom is None or self._bloom_age >= self.bloom_refresh:
                 # periodic rebuild re-sizes the filter as the
                 # frontier grows (keeps fpp bounded); kind per
                 # north_rule "bloom/cuckoo" — cuckoo adds O(1)
-                # delete for URL expiry/recrawl semantics
+                # delete for URL expiry/recrawl semantics;
+                # bloom_sharded is the host_bucket-sharded layout
+                # (SCALE.md §3) used when one bitmap won't broadcast
                 if self.seen_filter_kind == "cuckoo":
                     from spacetime_crawler4py_spark.frontier.cuckoo import (
                         build_cuckoo,
                     )
 
                     self._bloom = build_cuckoo(seen)
+                elif sharded:
+                    from spacetime_crawler4py_spark.frontier.bloom import (
+                        build_sharded_bloom,
+                    )
+
+                    self._bloom = build_sharded_bloom(
+                        self.store.discovered().select("url_hash", "host_bucket")
+                    )
                 else:
                     self._bloom = build_bloom(seen)
                 self._bloom_age = 0
-            probed = with_might_contain(candidates, self._bloom, self.spark)
+            if sharded:
+                from spacetime_crawler4py_spark.frontier.bloom import (
+                    with_might_contain_sharded,
+                )
+                from spacetime_crawler4py_spark.frontier.store import (
+                    N_HOST_BUCKETS,
+                )
+
+                cand_b = candidates.withColumn(
+                    "host_bucket",
+                    F.pmod(F.xxhash64(col_netloc(F.col("url"))), F.lit(N_HOST_BUCKETS)).cast("int"),
+                )
+                probed = with_might_contain_sharded(cand_b, self._bloom, self.spark)
+                probed = probed.drop("host_bucket")
+            else:
+                probed = with_might_contain(candidates, self._bloom, self.spark)
             fresh = probed.where(~F.col("might_be_seen")).drop("might_be_seen")
             maybe = probed.where(F.col("might_be_seen")).drop("might_be_seen")
             new = fresh.unionByName(maybe.join(seen, "url_hash", "left_anti"))
@@ -333,7 +359,15 @@ class CrawlEngine:
         # sync and the count (batch-local, politeness-bounded; at
         # cluster scale this becomes a distributed partial-bloom
         # build + OR-merge, same as build_bloom)
-        new_collected = new_rows.select("url_hash", "host").collect()
+        from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
+
+        new_collected = new_rows.select(
+            "url_hash",
+            "host",
+            F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
+            .cast("int")
+            .alias("host_bucket"),
+        ).collect()
         new_hashes = [r["url_hash"] for r in new_collected]
         n_new = len(new_hashes)
         if n_new:
@@ -342,7 +376,13 @@ class CrawlEngine:
             if self.use_bloom and self._bloom is not None:
                 import pandas as pd
 
-                self._bloom.add_series(pd.Series(new_hashes))
+                if self.seen_filter_kind == "bloom_sharded":
+                    self._bloom.add_pairs(
+                        pd.Series(new_hashes),
+                        pd.Series([r["host_bucket"] for r in new_collected]),
+                    )
+                else:
+                    self._bloom.add_series(pd.Series(new_hashes))
                 self._bloom_age += 1
 
         # ---- completions (T5: idempotent flips) — driver-side append

@@ -69,6 +69,100 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.k, np.bitwise_or(self.bits, other.bits))
 
 
+class ShardedBloom:
+    """host_bucket-sharded bloom (the 10^10-scale layout, SCALE.md §3).
+
+    One BloomFilter per frontier host_bucket: at 10^10 keys / 1% fpp
+    a monolithic filter is ~11 GiB — unbroadcastable — while 64
+    shards are ~180 MiB each and each scheduler partition only needs
+    the shards of the buckets it handles.  In-sandbox all shards
+    ride one broadcast; the probe path is identical either way.
+    """
+
+    def __init__(self, shards: dict[int, BloomFilter]):
+        self.shards = shards
+
+    def contains_pairs(self, hashes: pd.Series, buckets: pd.Series) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        b = buckets.to_numpy()
+        for bucket, bf in self.shards.items():
+            mask = b == bucket
+            if mask.any():
+                out[mask] = bf.contains_series(hashes[mask])
+        return out
+
+    def add_pairs(self, hashes: pd.Series, buckets: pd.Series) -> None:
+        b = buckets.to_numpy()
+        for bucket in np.unique(b):
+            bf = self.shards.get(int(bucket))
+            if bf is None:
+                bf = BloomFilter.sized_for(1024)
+                self.shards[int(bucket)] = bf
+            bf.add_series(hashes[b == bucket])
+
+
+def build_sharded_bloom(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bucket_col: str = "host_bucket",
+    fpp: float = 0.01,
+) -> ShardedBloom:
+    """Distributed sharded build: per-bucket counts size each shard,
+    then one pass folds partition rows into per-bucket partial
+    bitmaps which OR-merge by bucket on the driver."""
+    counts = {
+        r[bucket_col]: r["n"]
+        for r in seen.groupBy(bucket_col).agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {int(b): BloomFilter.sized_for(n, fpp) for b, n in counts.items() if b is not None}
+    params = {b: (bf.n_bits, bf.k) for b, bf in sizes.items()}
+
+    def partial(it):
+        local: dict[int, BloomFilter] = {}
+        for pdf in it:
+            for bucket, grp in pdf.groupby(bucket_col):
+                bkt = int(bucket)
+                if bkt not in local:
+                    n_bits, k = params[bkt]
+                    local[bkt] = BloomFilter(n_bits, k)
+                local[bkt].add_series(grp[hash_col].astype(str))
+        for bkt, bf in local.items():
+            yield pd.DataFrame({"bucket": [bkt], "bits": [bf.bits.tobytes()]})
+
+    parts = (
+        seen.select(hash_col, bucket_col)
+        .mapInPandas(partial, "bucket int, bits binary")
+        .collect()
+    )
+    shards: dict[int, BloomFilter] = {}
+    for row in parts:
+        bkt = row["bucket"]
+        if bkt not in shards:
+            n_bits, k = params[bkt]
+            shards[bkt] = BloomFilter(n_bits, k)
+        shards[bkt].bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return ShardedBloom(shards)
+
+
+def with_might_contain_sharded(
+    df: DataFrame,
+    sharded: ShardedBloom,
+    spark,
+    hash_col: str = "url_hash",
+    bucket_col: str = "host_bucket",
+    out_col: str = "might_be_seen",
+) -> DataFrame:
+    b = spark.sparkContext.broadcast(sharded)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def probe(hashes: pd.Series, buckets: pd.Series) -> pd.Series:
+        return pd.Series(b.value.contains_pairs(hashes.astype(str), buckets))
+
+    return df.withColumn(out_col, probe(F.col(hash_col), F.col(bucket_col)))
+
+
 def build_bloom(seen: DataFrame, hash_col: str = "url_hash", fpp: float = 0.01) -> BloomFilter:
     """Distributed build: per-partition bitmaps, OR-reduced."""
     n = seen.count()

@@ -78,3 +78,24 @@ def test_crawl_with_cuckoo_seen_filter(spark, corpus80, oracle80, tmp_path):
     )
     eng.run()
     assert eng.seen_set() == set(oracle80.seen.keys())
+
+
+def test_crawl_with_sharded_bloom(spark, corpus80, oracle80, tmp_path):
+    """host_bucket-sharded bloom (the 10^10-scale layout) preserves
+    the exact oracle seen-set, including mid-crawl rebuild + the
+    incremental per-shard sync path."""
+    from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
+    from spacetime_crawler4py_spark.datagen.pages import SEED_URLS
+
+    corpus_dir, _ = corpus80
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        pages_path=f"{corpus_dir}/pages.parquet",
+        status_path=f"{corpus_dir}/fetch_status.parquet",
+        seeds=SEED_URLS,
+        seen_filter="bloom_sharded",
+        bloom_refresh_batches=2,
+    )
+    eng.run()
+    assert eng.seen_set() == set(oracle80.seen.keys())
