@@ -52,6 +52,7 @@ from spacetime_crawler4py_spark.functions.urlnorm import (
     col_urlhash,
 )
 from spacetime_crawler4py_spark.functions.validity import col_is_valid
+from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
 from spacetime_crawler4py_spark.operators.parse import parse_pages
 
 
@@ -77,6 +78,11 @@ class CrawlEngine:
         self.spark = spark
         self.store = FrontierStore(spark, state_dir)
         self.state_dir = state_dir
+        # Crash recovery FIRST: a crashed attempt's data files (written
+        # before its marker) must be quarantined before any batch
+        # re-runs under the same id, or the retry's commit would make
+        # both attempts visible (duplicate discovered/crawl-order rows).
+        self.store.quarantine_uncommitted()
         self.seeds = seeds
         self.strict = strict_lifo
         self.window_ms = window_ms
@@ -181,20 +187,20 @@ class CrawlEngine:
 
             pending = filter_allowed(pending, self.robots)
         if self.strict:
-            batch = (
+            sched = (
                 pending.orderBy(F.desc("seq"))
                 .limit(1)
                 .withColumn("fetch_order", F.lit(0))
             )
         else:
-            batch = next_batch(
+            sched = next_batch(
                 pending,
                 window_ms=self.window_ms,
                 delay_ms=self.delay_ms,
                 robots=self.robots,
                 order=self.order,
             )
-        batch = batch.select(
+        batch = sched.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"
         ).cache()
         # ONE action materializes the batch AND hands the driver the
@@ -203,6 +209,11 @@ class CrawlEngine:
         # further Spark jobs.
         batch_rows = batch.select("url_hash", "url", "host", "fetch_order").collect()
         n_batch = len(batch_rows)
+        # the scheduler's fetch_order intermediate has served its
+        # purpose once the batch is cached + collected
+        _sched_interm = getattr(sched, "_sg_cleanup", None)
+        if _sched_interm is not None:
+            _sched_interm.unpersist()
         if n_batch == 0:
             batch.unpersist()
             return {"n_batch": 0}
@@ -248,7 +259,10 @@ class CrawlEngine:
                 "wc",
                 "n_unique_anchors",
                 "tokens_report",
-            ).write.mode("append").parquet(os.path.join(self.state_dir, "crawled_pages"))
+            )
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(self.state_dir, "crawled_pages"))
         )
 
         # ---- crawl-order log (golden: Logs/Worker.log "Downloaded"
@@ -262,15 +276,21 @@ class CrawlEngine:
             },
         )
 
-        # ---- link pipeline: P1 normalize → F1-F4 validity → P2 hash
+        # ---- link pipeline: F1-F4 validity on the RAW href, THEN
+        # P1 normalize → P2 hash.  Order is load-bearing reference
+        # parity (scraper.py:44 validates the raw extracted link;
+        # frontier.add_url normalizes afterwards): a trailing-slash
+        # variant of a blacklisted extension ('…/file.pdf/') is valid
+        # raw — the extension regex is '$'-anchored — and must be
+        # crawled, but would be dropped if normalized first.
         links = (
             parsed.select(
                 "fetch_order",
                 F.posexplode("links").alias("pos", "link"),
             )
             .where(F.col("link").isNotNull())
+            .where(col_is_valid(F.col("link"), self.parity))
             .withColumn("url", col_normalize(F.col("link")))
-            .where(col_is_valid(F.col("url"), self.parity))
             .withColumn("url_hash", col_urlhash(F.col("url")))
         )
 
@@ -337,53 +357,39 @@ class CrawlEngine:
         else:
             new = candidates.join(seen, "url_hash", "left_anti")
 
-        # ---- seq assignment: base + rank in (fetch_order, pos) order
+        # ---- seq assignment: base + rank in (fetch_order, pos) order,
+        # assigned DISTRIBUTED (range-partitioned rank + partition
+        # offsets, operators/ids.py) — no single-partition exchange
+        # even when a wide batch discovers millions of links.
         if self._max_seq is None:
             self._max_seq = self.store.max_seq()
         base = self._max_seq
-        w_seq = Window.orderBy("fetch_order", "pos")
-        new_rows = (
-            new.withColumn("seq", F.lit(base) + F.row_number().over(w_seq))
-            .select(
-                "url_hash",
-                "url",
-                col_netloc(F.col("url")).alias("host"),
-                "seq",
-                F.lit(None).cast("int").alias("depth"),
-                F.current_timestamp().alias("discovered_ts"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
-            )
+        indexed, _seq_interm = with_contiguous_index(
+            new, ["fetch_order", "pos"], "seq", start=base + 1
         )
-        new_rows = new_rows.cache()
-        # one action: materialize + pull the new hashes for the bloom
-        # sync and the count (batch-local, politeness-bounded; at
-        # cluster scale this becomes a distributed partial-bloom
-        # build + OR-merge, same as build_bloom)
-        from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
-
-        new_collected = new_rows.select(
+        new_rows = indexed.select(
             "url_hash",
-            "host",
-            F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
-            .cast("int")
-            .alias("host_bucket"),
-        ).collect()
-        new_hashes = [r["url_hash"] for r in new_collected]
-        n_new = len(new_hashes)
+            "url",
+            col_netloc(F.col("url")).alias("host"),
+            "seq",
+            F.lit(None).cast("int").alias("depth"),
+            F.current_timestamp().alias("discovered_ts"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        # n_new + per-host lineage from ONE host-level aggregation —
+        # bounded by #hosts in the batch (the partition key), NOT by
+        # #new URLs; the per-URL delta itself never reaches the driver.
+        new_by_host = {
+            (r["host"] or ""): r["n"]
+            for r in new_rows.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = sum(new_by_host.values())
         if n_new:
             self._max_seq = base + n_new
             self.store.append_discovered(new_rows)
             if self.use_bloom and self._bloom is not None:
-                import pandas as pd
-
-                if self.seen_filter_kind == "bloom_sharded":
-                    self._bloom.add_pairs(
-                        pd.Series(new_hashes),
-                        pd.Series([r["host_bucket"] for r in new_collected]),
-                    )
-                else:
-                    self._bloom.add_series(pd.Series(new_hashes))
-                self._bloom_age += 1
+                self._sync_seen_filter(new_rows)
+        _seq_interm.unpersist()
 
         # ---- completions (T5: idempotent flips) — driver-side append
         self.store.append_rows(
@@ -410,10 +416,6 @@ class CrawlEngine:
         for r in batch_rows:
             h = r["host"] or ""
             sched_by_host[h] = sched_by_host.get(h, 0) + 1
-        new_by_host: dict[str, int] = {}
-        for r in new_collected:
-            h = r["host"] or ""
-            new_by_host[h] = new_by_host.get(h, 0) + 1
         hosts = sorted(set(sched_by_host) | set(new_by_host))
         self.store.append_rows(
             "lineage",
@@ -428,8 +430,58 @@ class CrawlEngine:
         self.store.commit(batch_id, meta)
         parsed.unpersist()
         batch.unpersist()
-        new_rows.unpersist()
         return meta
+
+    # ------------------------------------------------------------------
+
+    def _sync_seen_filter(self, new_rows: DataFrame) -> None:
+        """Fold the batch's newly-discovered hashes into the broadcast
+        seen filter WITHOUT collecting them: a distributed partial
+        filter is built over the delta with the live filter's exact
+        parameters and OR-merged driver-side — bitmap traffic is
+        bounded by the filter size, not the delta — the same path
+        build_bloom uses for full rebuilds.  The cuckoo filter is the
+        exception: eviction-chain inserts are inherently sequential,
+        so its delta IS collected (the 10^10-scale form shards by
+        host_bucket and inserts shard-parallel in workers —
+        build_cuckoo docstring); an insert failure (load ceiling)
+        discards the filter and forces a freshly-sized rebuild next
+        batch instead of aborting the crawl.
+        """
+        if self.seen_filter_kind == "bloom_sharded":
+            from spacetime_crawler4py_spark.frontier.bloom import (
+                merge_sharded_delta,
+            )
+            from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
+
+            delta = new_rows.select(
+                "url_hash",
+                F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
+                .cast("int")
+                .alias("host_bucket"),
+            )
+            merge_sharded_delta(self._bloom, delta)
+        elif self.seen_filter_kind == "cuckoo":
+            import pandas as pd
+
+            hashes = [r["url_hash"] for r in new_rows.select("url_hash").collect()]
+            try:
+                self._bloom.add_series(pd.Series(hashes))
+            except RuntimeError:
+                # load ceiling hit mid-insert: the partially-updated
+                # filter could yield false negatives → discard and
+                # rebuild from the committed seen set next batch
+                self._bloom = None
+                self._bloom_age = 0
+                return
+        else:
+            delta = build_bloom(
+                new_rows.select("url_hash"),
+                n_bits=self._bloom.n_bits,
+                k=self._bloom.k,
+            )
+            self._bloom = self._bloom.merge(delta)
+        self._bloom_age += 1
 
     # ------------------------------------------------------------------
 
@@ -475,11 +527,10 @@ class CrawlEngine:
         path = os.path.join(self.state_dir, "crawl_order")
         if not os.path.exists(path):
             return []
-        committed = self.store.last_batch_id()
         return [
             r["url"]
             for r in self.spark.read.parquet(path)
-            .where(F.col("batch_id") <= committed)
+            .where(self.store.committed_filter())
             .orderBy("batch_id", "fetch_order")
             .collect()
         ]
@@ -490,7 +541,6 @@ class CrawlEngine:
         }
 
     def crawled_pages(self) -> DataFrame:
-        committed = self.store.last_batch_id()
         return self.spark.read.parquet(
             os.path.join(self.state_dir, "crawled_pages")
-        ).where(F.col("batch_id") <= committed)
+        ).where(self.store.committed_filter())

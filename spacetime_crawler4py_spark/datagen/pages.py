@@ -154,6 +154,10 @@ def generate_corpus(n_pages: int = 300, seed: int = 42) -> dict[str, list]:
         deco.append("https://example.com/offsite" + str(i % 7))          # off-domain
         deco.append("mailto:someone@ics.uci.edu")                        # non-http
         deco.append(f"https://www.ics.uci.edu/files/report{i % 5}.pdf")  # blacklisted ext
+        # trailing-slash blacklisted-ext twin: VALID raw (the '$'-anchored
+        # extension regex misses 'pdf/'), crawled by the reference —
+        # pins the validate-raw-then-normalize order (scraper.py:44)
+        deco.append(f"https://www.ics.uci.edu/files/report{i % 5}.pdf/")
         if i % 11 == 0:
             deco.append("https://ics.uci.edu/apex")                      # apex (invalid)
         links = targets + deco

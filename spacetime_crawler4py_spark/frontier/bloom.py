@@ -144,6 +144,47 @@ def build_sharded_bloom(
     return ShardedBloom(shards)
 
 
+def merge_sharded_delta(
+    sharded: ShardedBloom,
+    delta: DataFrame,
+    hash_col: str = "url_hash",
+    bucket_col: str = "host_bucket",
+) -> None:
+    """Fold a delta DataFrame into a live ShardedBloom in place —
+    the incremental-add twin of build_sharded_bloom: per-bucket
+    partial bitmaps are built distributed with each live shard's
+    exact parameters and OR-merged; buckets the filter has never
+    seen get a minimum-size shard.  Driver traffic is bounded by
+    (#touched buckets × shard size), never by the delta row count."""
+    params = {b: (bf.n_bits, bf.k) for b, bf in sharded.shards.items()}
+    proto = BloomFilter.sized_for(1024)
+    default_params = (proto.n_bits, proto.k)
+
+    def partial(it):
+        local: dict[int, BloomFilter] = {}
+        for pdf in it:
+            for bucket, grp in pdf.groupby(bucket_col):
+                bkt = int(bucket)
+                if bkt not in local:
+                    n_bits, k = params.get(bkt, default_params)
+                    local[bkt] = BloomFilter(n_bits, k)
+                local[bkt].add_series(grp[hash_col].astype(str))
+        for bkt, bf in local.items():
+            yield pd.DataFrame({"bucket": [bkt], "bits": [bf.bits.tobytes()]})
+
+    parts = (
+        delta.select(hash_col, bucket_col)
+        .mapInPandas(partial, "bucket int, bits binary")
+        .collect()
+    )
+    for row in parts:
+        bkt = int(row["bucket"])
+        if bkt not in sharded.shards:
+            n_bits, k = default_params
+            sharded.shards[bkt] = BloomFilter(n_bits, k)
+        sharded.shards[bkt].bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+
 def with_might_contain_sharded(
     df: DataFrame,
     sharded: ShardedBloom,
@@ -163,11 +204,24 @@ def with_might_contain_sharded(
     return df.withColumn(out_col, probe(F.col(hash_col), F.col(bucket_col)))
 
 
-def build_bloom(seen: DataFrame, hash_col: str = "url_hash", fpp: float = 0.01) -> BloomFilter:
-    """Distributed build: per-partition bitmaps, OR-reduced."""
-    n = seen.count()
-    proto = BloomFilter.sized_for(n, fpp)
-    n_bits, k = proto.n_bits, proto.k
+def build_bloom(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    fpp: float = 0.01,
+    n_bits: int | None = None,
+    k: int | None = None,
+) -> BloomFilter:
+    """Distributed build: per-partition bitmaps, OR-reduced.
+
+    Pass explicit ``(n_bits, k)`` to build a DELTA filter with the
+    same parameters as a live filter — merging it in (bitwise OR) is
+    the incremental-add path of the crawl loop: the per-batch delta
+    never reaches the driver row-by-row, only P partial bitmaps do.
+    """
+    if n_bits is None or k is None:
+        n = seen.count()
+        proto = BloomFilter.sized_for(n, fpp)
+        n_bits, k = proto.n_bits, proto.k
 
     def partial(it):
         bf = BloomFilter(n_bits, k)

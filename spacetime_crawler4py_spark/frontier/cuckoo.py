@@ -117,7 +117,9 @@ class CuckooFilter:
         return removed
 
 
-def build_cuckoo(seen, hash_col: str = "url_hash") -> CuckooFilter:
+def build_cuckoo(
+    seen, hash_col: str = "url_hash", headroom: float = 2.0
+) -> CuckooFilter:
     """Build from a DataFrame of hex hashes.
 
     Inserts are inherently sequential (eviction chains), so the
@@ -125,9 +127,15 @@ def build_cuckoo(seen, hash_col: str = "url_hash") -> CuckooFilter:
     frontier's host_bucket and build per-shard filters in parallel
     workers, then broadcast the shard map; the probe side
     (contains_series) is what must be vectorized, and is.
+
+    ``headroom`` over-sizes the table beyond the build-time seen set:
+    the filter grows incrementally for up to bloom_refresh batches
+    before the next rebuild, and a fast-growing frontier must not hit
+    the load ceiling mid-batch (insert failure would force an
+    immediate rebuild — see CrawlEngine.run_batch's fallback).
     """
     rows = [r[hash_col] for r in seen.select(hash_col).collect()]
-    cf = CuckooFilter.sized_for(max(len(rows), 1024))
+    cf = CuckooFilter.sized_for(int(max(len(rows), 1024) * headroom))
     if rows:
         cf.add_series(pd.Series(rows))
     return cf

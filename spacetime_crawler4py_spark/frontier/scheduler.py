@@ -97,9 +97,17 @@ def next_batch(
     )
 
     # Stage 3 (batch order contract): lifo → global seq DESC;
-    # fifo_per_host → priority queue by per-host head age.
-    w_all = Window.orderBy(seq_order)
-    batch = capped.withColumn("fetch_order", F.row_number().over(w_all) - 1)
+    # fifo_per_host → priority queue by per-host head age.  The dense
+    # 0-based fetch_order is assigned DISTRIBUTED (range-partitioned
+    # rank + partition offsets, operators/ids.py) — a bare
+    # Window.orderBy here would funnel the whole batch through one
+    # task, millions of rows at 10^5-host scale.
+    from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
+
+    batch, _interm = with_contiguous_index(capped, [seq_order], "fetch_order", 0)
     if max_urls is not None:
         batch = batch.where(F.col("fetch_order") < max_urls)
+    # hand the cached intermediate to the caller for unpersist after
+    # the batch materializes (see with_contiguous_index contract)
+    batch._sg_cleanup = _interm
     return batch

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +74,25 @@ COMPLETED_SCHEMA = StructType(
 
 N_HOST_BUCKETS = 64
 
+# Streaming-ingest commits live in a disjoint batch_id namespace so
+# crawl batch numbering never collides with (or jumps into) it.
+STREAM_NS = 10_000_000
+
+# Directories whose data files are stamped with a batch_id and must
+# be invisible (and quarantinable) until their commit marker lands.
+_LOG_DIRS = (
+    "discovered",
+    "completed",
+    "expired",
+    "crawl_order",
+    "crawled_pages",
+    "metrics",
+    "lineage",
+)
+
+# append_rows file naming (8-digit batch id + writer pid)
+_PART_FILE_RE = re.compile(r"^part-(\d{8})-\d+\.parquet$")
+
 
 class FrontierStore:
     def __init__(self, spark: SparkSession, state_dir: str):
@@ -90,7 +111,12 @@ class FrontierStore:
         return sorted(out)
 
     def last_batch_id(self) -> int:
-        b = self.committed_batches()
+        """Highest committed CRAWL batch id.
+
+        Streaming-ingest markers (>= STREAM_NS) are excluded so crawl
+        batch numbering never jumps into the streaming namespace.
+        """
+        b = [i for i in self.committed_batches() if i < STREAM_NS]
         return b[-1] if b else -1
 
     def commit(self, batch_id: int, meta: dict) -> None:
@@ -101,17 +127,82 @@ class FrontierStore:
             json.dump({"batch_id": batch_id, "ts": time.time(), **meta}, f)
         os.replace(tmp, path)
 
+    def committed_filter(self) -> F.Column:
+        """Column predicate: batch_id is a MEMBER of the committed set.
+
+        Membership, not ``<= max``: the streaming namespace commits
+        high ids into the same store, and a crashed attempt may leave
+        data under an id below a later commit.  Committed ids are
+        contiguous runs (one per batch, per namespace) so the
+        predicate compresses to a handful of BETWEENs — O(crashes),
+        not O(batches) — which Catalyst can push into the parquet
+        partition pruning on ``batch_id=``-partitioned logs.
+        """
+        committed = self.committed_batches()
+        if not committed:
+            return F.lit(False)
+        ranges: list[tuple[int, int]] = []
+        lo = prev = committed[0]
+        for i in committed[1:]:
+            if i == prev + 1:
+                prev = i
+                continue
+            ranges.append((lo, prev))
+            lo = prev = i
+        ranges.append((lo, prev))
+        cond = F.col("batch_id").between(ranges[0][0], ranges[0][1])
+        for a, b in ranges[1:]:
+            cond = cond | F.col("batch_id").between(a, b)
+        return cond
+
     def _read(self, name: str, schema: StructType) -> DataFrame:
         path = os.path.join(self.dir, name)
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(path)
-        committed = self.committed_batches()
-        if committed:
-            # uncommitted batch data (crash between write and marker)
-            # must be invisible: filter to committed ids.
-            return df.where(F.col("batch_id") <= committed[-1])
-        return df.where(F.lit(False))
+        # uncommitted batch data (crash between write and marker)
+        # must be invisible: filter to committed-set MEMBERSHIP.
+        return df.where(self.committed_filter()).select(
+            [f.name for f in schema.fields]
+        )
+
+    # -------------------------------------------------- crash recovery
+
+    def quarantine_uncommitted(self) -> int:
+        """Delete data files of batches that never committed.
+
+        A crashed attempt writes data files (discovered/, crawled_pages/,
+        crawl_order/, completed/, …) BEFORE its marker; rerunning the
+        same batch_id would otherwise leave both attempts' files
+        sharing the committed id once the retry lands — duplicate
+        discovered rows and crawl-order lines.  Called on engine
+        start, before any batch re-runs.  Spark-written logs are
+        ``batch_id=N`` hive partitions; driver-side append_rows files
+        carry the id in the filename — both are identifiable without
+        opening a single footer.  Returns the number of paths removed.
+        """
+        committed = set(self.committed_batches())
+        removed = 0
+        for name in _LOG_DIRS:
+            d = os.path.join(self.dir, name)
+            if not os.path.isdir(d):
+                continue
+            for entry in os.listdir(d):
+                p = os.path.join(d, entry)
+                if entry.startswith("batch_id="):
+                    try:
+                        bid = int(entry.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid not in committed:
+                        shutil.rmtree(p)
+                        removed += 1
+                else:
+                    m = _PART_FILE_RE.match(entry)
+                    if m and int(m.group(1)) not in committed:
+                        os.remove(p)
+                        removed += 1
+        return removed
 
     # ------------------------------------------------------------- state
 
@@ -172,8 +263,12 @@ class FrontierStore:
     def append_discovered(self, df: DataFrame) -> None:
         """Append new frontier rows (already deduped + seq-assigned).
 
-        Written partitioned by salted host bucket so per-host reads
-        prune files and a hot host spreads across writers.
+        Hive-partitioned by batch_id — each micro-batch is one
+        partition directory, which (a) makes crash quarantine a
+        directory delete, (b) lets the committed-set filter prune
+        whole partitions, and (≡) mirrors an Iceberg snapshot's
+        manifest grouping.  The salted host_bucket stays a data
+        column for per-host pruning + bloom sharding.
         """
         (
             df.withColumn(
@@ -181,13 +276,14 @@ class FrontierStore:
             )
             .select([f.name for f in DISCOVERED_SCHEMA.fields])
             .write.mode("append")
+            .partitionBy("batch_id")
             .parquet(os.path.join(self.dir, "discovered"))
         )
 
     def append_completed(self, df: DataFrame) -> None:
-        df.select("url_hash", "batch_id").write.mode("append").parquet(
-            os.path.join(self.dir, "completed")
-        )
+        df.select("url_hash", "batch_id").write.mode("append").partitionBy(
+            "batch_id"
+        ).parquet(os.path.join(self.dir, "completed"))
 
     # ---------------------------------------------- driver-side appends
 

@@ -82,7 +82,7 @@ def stream_frontier_ingest(
     FrontierStore marker doubles as the idempotency guard: a
     replayed batch id is a no-op, preserving exactly-once.
     """
-    from spacetime_crawler4py_spark.frontier.store import FrontierStore
+    from spacetime_crawler4py_spark.frontier.store import STREAM_NS, FrontierStore
     from spacetime_crawler4py_spark.functions.urlnorm import (
         col_netloc,
         col_normalize,
@@ -93,22 +93,34 @@ def stream_frontier_ingest(
     store = FrontierStore(spark, state_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        marker = 10_000_000 + batch_id  # streaming id namespace
+        marker = STREAM_NS + batch_id  # streaming id namespace
         if marker in set(store.committed_batches()):
             return  # replay → no-op (exactly-once)
+        # validity on the RAW link, then normalize — same load-bearing
+        # order as the batch engine (scraper.py:44 → frontier.add_url)
         cand = (
-            batch_df.withColumn("url", col_normalize(F.col("url")))
-            .where(col_is_valid(F.col("url")))
+            batch_df.where(col_is_valid(F.col("url")))
+            .withColumn("url", col_normalize(F.col("url")))
             .withColumn("url_hash", col_urlhash(F.col("url")))
             .dropDuplicates(["url_hash"])
         )
         new = cand.join(store.seen_hashes(), "url_hash", "left_anti")
         base = store.max_seq()
-        from pyspark.sql import Window
+        from spacetime_crawler4py_spark.operators.ids import (
+            with_contiguous_index,
+        )
 
-        rows = new.withColumn(
-            "seq", F.lit(base) + F.row_number().over(Window.orderBy("url"))
-        ).select(
+        # seq order contract UNIFIED with the batch engine: discovery
+        # position (fetch_order, pos) when the stream carries it,
+        # else deterministic url order — assigned distributed (no
+        # single-partition window), same as crawl/loop.py.
+        order_cols = [
+            c for c in ("fetch_order", "pos") if c in new.columns
+        ] or ["url"]
+        indexed, _interm = with_contiguous_index(
+            new, order_cols, "seq", start=base + 1
+        )
+        rows = indexed.select(
             "url_hash",
             "url",
             col_netloc(F.col("url")).alias("host"),
@@ -118,6 +130,7 @@ def stream_frontier_ingest(
             F.lit(marker).cast("long").alias("batch_id"),
         )
         store.append_discovered(rows)
+        _interm.unpersist()
         store.commit(marker, {"kind": "stream_ingest"})
 
     return (

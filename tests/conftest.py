@@ -93,6 +93,8 @@ URL_CORPUS = [
     "ftp://www.ics.uci.edu/file",
     "mailto:someone@ics.uci.edu",
     "https://www.ics.uci.edu/file.pdf",
+    "https://www.ics.uci.edu/file.pdf/",     # valid RAW ('$'-anchored ext regex);
+                                             # must be validated BEFORE normalize
     "https://www.ics.uci.edu/file.PDF",      # path lowered before match
     "https://www.ics.uci.edu/file.tar.gz",
     "https://www.ics.uci.edu/style.css?v=3",  # ext test is on path only

@@ -73,9 +73,21 @@ def test_uncommitted_batch_invisible(spark, corpus80, engine80, tmp_path):
     os.remove(os.path.join(str(tmp_path / "state"), "commits", f"batch-{last}.json"))
     eng2 = _engine(spark, tmp_path / "state", corpus_dir)
     assert eng2.store.last_batch_id() == last - 1
+    # the crashed attempt's orphaned data files (written before the
+    # marker) must have been quarantined at engine start — otherwise
+    # the retry's commit would expose BOTH attempts' rows
+    assert eng2.store.discovered().where(f"batch_id = {last}").count() == 0
     # resumed crawl still converges to the full seen set
     eng2.run()
     assert eng2.seen_set() == engine80.seen_set()
+    # row-count identity, not just set identity: re-running the failed
+    # batch under the same id must not duplicate crawl-order lines or
+    # discovered rows (ADVICE r1: duplicate-hiding via set() was a gap)
+    order = eng2.crawl_order()
+    assert len(order) == len(set(order)) == len(engine80.crawl_order())
+    disc = eng2.store.discovered()
+    assert disc.count() == disc.select("url_hash").distinct().count()
+    assert eng2.crawled_pages().count() == engine80.crawled_pages().count()
 
 
 def test_fifo_per_host_converges_to_same_seen_set(spark, corpus80, oracle80, tmp_path):

@@ -110,3 +110,47 @@ def test_bucketed_join_is_colocated(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS o_bucketed_t")
+
+
+def test_contiguous_index_has_no_single_partition_exchange(spark):
+    """Global-id assignment must stay distributed: range-partitioned
+    rank + offsets (operators/ids.py), never a bare Window.orderBy
+    whose plan is an `Exchange SinglePartition` (VERDICT r1 #1/#2)."""
+    from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 97).alias("fetch_order"), F.col("id").alias("pos")
+    )
+    out, interm = with_contiguous_index(df, ["fetch_order", "pos"], "seq", 100)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # and the index is exactly the dense global rank
+    rows = out.orderBy("seq").collect()
+    expected = sorted((r["fetch_order"], r["pos"]) for r in rows)
+    assert [(r["fetch_order"], r["pos"]) for r in rows] == expected
+    assert [r["seq"] for r in rows] == list(range(100, 100 + len(rows)))
+    interm.unpersist()
+
+
+def test_scheduler_batch_has_no_single_partition_exchange(spark):
+    """The politeness scheduler's fetch_order path (stage 3) must not
+    funnel the batch through one task."""
+    from spacetime_crawler4py_spark.frontier.scheduler import next_batch
+
+    pending = spark.range(0, 5_000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("url_hash"),
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".ics.uci.edu/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias("host"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("depth"),
+    )
+    batch = next_batch(pending, window_ms=4_000)
+    assert "SinglePartition" not in _plan(batch)
+    # fetch_order is the dense 0-based seq-DESC rank of the capped set
+    rows = batch.orderBy("fetch_order").collect()
+    assert [r["fetch_order"] for r in rows] == list(range(len(rows)))
+    seqs = [r["seq"] for r in rows]
+    assert seqs == sorted(seqs, reverse=True)
+    batch._sg_cleanup.unpersist()
