@@ -185,3 +185,41 @@ def pdf_stem_tokens(token_arrays: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def pdf_stem(tokens: pd.Series) -> pd.Series:
     return tokens.map(lambda t: porter_stem(t) if t is not None else None)
+
+
+# Published example vocabulary from Porter (1980), "An algorithm for
+# suffix stripping" — the step-by-step examples in the paper.  Used
+# as the driver-gate oracle for p12_porter_stems: the sandbox's
+# DuckDB has no stemmer extension offline, so the paper's expected
+# outputs ARE the independent oracle (a hash match certifies the
+# stemmer itself).  tests/test_tokenizers.py asserts the same table.
+PORTER_CLASSIC_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat", "feed": "feed",
+    "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop",
+    "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope",
+    "callousness": "callous", "formaliti": "formal",
+    "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "homologou": "homolog", "communism": "commun",
+    "activate": "activ", "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+}

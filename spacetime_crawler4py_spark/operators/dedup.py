@@ -16,9 +16,10 @@ Every operator here follows the same scale shape:
 - ngram_jaccard_pairs  word n-gram shingles, Jaccard via shared
                        shingle counts (pure joins+aggs, SQL-oracle-able)
 - minhash_lsh_*        MinHash signatures (Broder 1997) from
-                       xxhash64 shingle hashes under k universal
-                       hash perms (Carter-Wegman a*h+b mod p), LSH
-                       banding (Leskovec et al., MMDS ch.3)
+                       md5-derived (SQL-oracle-able; xxhash64 opt-in)
+                       shingle hashes under k universal hash perms
+                       (Carter-Wegman a*h+b mod p), LSH banding
+                       (Leskovec et al., MMDS ch.3)
 - simhash              see indexing.postings.simhash_dedup
 - embedding_neardup_pairs  cosine ≥ t via random-hyperplane LSH
                        buckets (Charikar 2002) + exact cosine check
@@ -138,6 +139,28 @@ def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_base_hash(col: Column, base_hash: str = "md5") -> Column:
+    """Shingle → int in [0, MERSENNE_P), JVM-side.
+
+    - ``md5``       (default) top-60-bits of md5 as an int — chosen
+      because it is reproducible in ANSI SQL (DuckDB:
+      ``('0x' || substr(md5(s), 1, 15))::BIGINT``), so the full
+      MinHash pipeline is hard-verifiable by the driver's oracle.
+    - ``xxhash64``  the faster JVM hash for production runs where
+      cross-engine verification isn't needed.
+    Both stay inside whole-stage codegen; md5 costs ~1 extra digest
+    per shingle.
+    """
+    if base_hash == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(MERSENNE_P))
+    if base_hash == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+            F.lit(MERSENNE_P),
+        )
+    raise ValueError(f"unknown base_hash {base_hash!r}: use 'md5' or 'xxhash64'")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -145,19 +168,21 @@ def minhash_signatures(
     n: int = 3,
     k: int = 64,
     seed: int = 42,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>) — k MinHash values, fully JVM-side.
 
-    Shingle base hash is xxhash64; each permutation is
-    (a*h + b) mod p over the Mersenne prime 2^61-1, min-aggregated
-    per doc.  One explode + one groupBy with k partial-min
-    aggregates — map-side combine keeps the shuffle at k longs/doc.
+    Each permutation is (a*h + b) mod p over the Mersenne prime
+    2^31-1, min-aggregated per doc.  One explode + one groupBy with
+    k partial-min aggregates — map-side combine keeps the shuffle at
+    k longs/doc.  ``base_hash`` picks the shingle hash (see
+    shingle_base_hash).
     """
     coeffs = _perm_coeffs(k, seed)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P)))
+    ).withColumn("h", shingle_base_hash(F.col("s"), base_hash))
     aggs = [
         F.min(
             F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
@@ -231,8 +256,9 @@ def minhash_dedup(
     rows: int = 4,
     threshold: float = 0.7,
     seed: int = 42,
+    base_hash: str = "md5",
 ) -> DataFrame:
-    sigs = minhash_signatures(df, text_col, id_col, n, k, seed)
+    sigs = minhash_signatures(df, text_col, id_col, n, k, seed, base_hash)
     pairs = minhash_lsh_pairs(sigs, bands, rows, threshold)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")

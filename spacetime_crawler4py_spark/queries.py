@@ -755,23 +755,62 @@ def emb_neardup(spark, sf_dir):
     )
 
 
-@_q("knn_graph_sample", None)  # LSH-bucketed approximate k-NN (no SQL twin)
+@_q("emb_neardup_lsh_pairs", None)  # oracle attached in _finalize (literal planes)
+def emb_neardup_lsh(spark, sf_dir):
+    """The SCALE path of embedding near-dup: hyperplane-bucket
+    equi-join + exact cosine verify (operators.dedup.
+    embedding_neardup_pairs) — certified against a DuckDB oracle
+    that replicates the SAME literal-plane bucket semantics.
+
+    Why not the exact cross-join oracle: at threshold 0.35 the
+    corpus's qualifying pairs are a similarity continuum (cos
+    0.35-0.6, no twins), and sign-bucket LSH provably splits most
+    such pairs — no n_planes makes bucketed == exhaustive here.
+    The exhaustive baseline stays ★-gated as emb_neardup_pairs;
+    THIS row hard-verifies the operator users run at 10^9 vectors
+    (bucket computation, equi-join shape, exact verification)."""
+    from spacetime_crawler4py_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_neardup_pairs(
+        e, threshold=0.35, dim=64, n_planes=8, seed=42
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@_q("knn_graph_sample", None)  # oracle attached in _finalize (literal planes)
 def knn_graph(spark, sf_dir):
+    """Approximate k-NN graph via hyperplane-bucket self-join.
+
+    Embeddings cast to double BEFORE the operator so the bucket
+    signs and cosine folds are bit-identical with the DuckDB oracle
+    (both engines then run the same IEEE-double op sequence)."""
     from spacetime_crawler4py_spark.operators.similarity import knn_join
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     return knn_join(e, k=3, n_planes=6, dim=64).select(
         "vec_id", "neighbor_id", F.round("score", 4).alias("score")
     )
 
 
-@_q("ann_lsh_top20", None)  # LSH bucket path (scale variant; no SQL twin)
+@_q("ann_lsh_top20", None)  # oracle attached in _finalize (literal planes)
 def ann_lsh(spark, sf_dir):
+    """ANN top-20 via multi-probe sign-bucket pruning (the scale
+    path of ann_cosine_top20); double-cast for oracle bit-parity."""
     from spacetime_crawler4py_spark.operators.similarity import lsh_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     q = [r["embedding"] for r in e.where(F.col("vec_id") == 0).collect()][0]
-    return lsh_topk(e, list(q), k=20, n_planes=8, probe_hamming=4)
+    res = lsh_topk(e, list(q), k=20, n_planes=8, probe_hamming=4)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
 
 
 @_q(
@@ -913,42 +952,63 @@ def r_rollup(spark, sf_dir):
     """
     SELECT COALESCE(event_type, 'ALL') AS event_type,
            COALESCE(CAST(user_id % 5 AS BIGINT), -1) AS user_mod,
+           GROUPING(event_type) AS g_event,
+           GROUPING(CAST(user_id % 5 AS BIGINT)) AS g_user,
            COUNT(*) AS n, ROUND(SUM(value), 3) AS total
     FROM events
     GROUP BY CUBE (event_type, CAST(user_id % 5 AS BIGINT))
     """,
 )
 def r_cube(spark, sf_dir):
-    """CUBE aggregation (all grouping-set combinations); subtotal
-    rows' NULL keys sentineled so the cross-engine value hash is
-    NaN-free."""
+    """CUBE aggregation (all grouping-set combinations).
+
+    Subtotal rows carry explicit GROUPING() level columns (g_event,
+    g_user): a sentinel value alone ('ALL' / -1) could collide with
+    a legitimate key ('ALL' event_type, or user_mod -1 from negative
+    user_ids) and silently merge subtotal rows with real groups on
+    BOTH engines — the grouping flag disambiguates, the sentinel
+    stays only to keep the value hash NULL-free."""
     e = _t(spark, sf_dir, "events").withColumn(
         "user_mod", (F.col("user_id") % 5).cast("long")
     )
     return (
         e.cube("event_type", "user_mod")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .agg(
+            F.grouping("event_type").alias("g_event"),
+            F.grouping("user_mod").alias("g_user"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
             F.coalesce(F.col("user_mod"), F.lit(-1)).alias("user_mod"),
+            "g_event",
+            "g_user",
             "n",
             "total",
         )
     )
 
 
-@_q("p12_porter_stems", None)  # Porter has no SQL twin → rows-only
+@_q("p12_porter_stems", None)  # oracle attached in _finalize (published vectors)
 def p12_stems(spark, sf_dir):
-    """P12: Porter stemming over document tokens (pandas UDF)."""
-    from spacetime_crawler4py_spark.functions.porter import pdf_stem
+    """P12: Porter stemming (pandas UDF), hard-verified against the
+    published Porter (1980) example vocabulary.
 
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-        ).alias("word")
-    ).distinct()
-    return toks.select("word", pdf_stem(F.col("word")).alias("stem"))
+    The sandbox's DuckDB has no stemmer offline, so the paper's
+    expected outputs ARE the independent oracle — a hash match
+    certifies the stemmer implementation itself (the same UDF the
+    indexing pipeline applies to corpus tokens), not snapshot
+    consistency."""
+    from spacetime_crawler4py_spark.functions.porter import (
+        PORTER_CLASSIC_VECTORS,
+        pdf_stem,
+    )
+
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(PORTER_CLASSIC_VECTORS)], "word string"
+    )
+    return words.select("word", pdf_stem(F.col("word")).alias("stem"))
 
 
 # =====================================================================
@@ -1035,6 +1095,170 @@ def _finalize() -> None:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.2
     """
+
+    # ---- MinHash LSH dedup: full pipeline twin (md5-derived shingle
+    # hash == Spark's shingle_base_hash('md5'); same Carter-Wegman
+    # coefficients, bands, and est-Jaccard threshold)
+    from spacetime_crawler4py_spark.operators.dedup import (
+        MERSENNE_P,
+        _perm_coeffs,
+        make_planes,
+    )
+
+    coeffs = _perm_coeffs(64, 42)
+    mins = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
+    band_ids = "[" + ", ".join(str(bi) for bi in range(16)) + "]"
+    band_keys = "[" + ", ".join(
+        "concat_ws(',', " + ", ".join(f"m{bi * 4 + ri}" for ri in range(4)) + ")"
+        for bi in range(16)
+    ) + "]"
+    ORACLES["dedup_minhash_kept"] = f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), sh_t AS (
+      SELECT doc_id, unnest({sh}) AS s FROM ws_t
+    ), h_t AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE_P} AS h FROM sh_t
+    ), sig_t AS (
+      SELECT doc_id, {mins}
+      FROM h_t GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, {sig_list} AS sig,
+             unnest({band_ids}) AS band, unnest({band_keys}) AS bkey
+      FROM sig_t
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), dropped AS (
+      SELECT DISTINCT id_b FROM cand
+      WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """
+
+    # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
+    # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter
+    # (functions/simhash.py twin; corpus is ASCII so RE2 [0-9a-z_]
+    # == Python \w here)
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS v{b}"
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    bandeq = " OR ".join(
+        f"((a.sim >> {bi * 16}) & 65535) = ((b.sim >> {bi * 16}) & 65535)"
+        for bi in range(4)
+    )
+    ORACLES["dedup_simhash_pairs"] = f"""
+    WITH feat AS (
+      SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[0-9a-z_]+'), '') AS s0
+      FROM documents
+    ), sh_t AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(s0) <= 4 THEN [s0]
+                    ELSE list_transform(range(1, length(s0) - 2), i -> substr(s0, i, 4))
+                    END) AS f
+      FROM feat WHERE s0 <> ''
+    ), cnt AS (
+      SELECT doc_id, f, COUNT(*) AS w FROM sh_t GROUP BY doc_id, f
+    ), h_t AS (
+      SELECT doc_id, ('0x' || substr(md5(f), 1, 16))::UBIGINT AS h, w FROM cnt
+    ), votes AS (
+      SELECT doc_id, {votes}
+      FROM h_t GROUP BY doc_id
+    ), sim_t AS (
+      SELECT doc_id, {bits} AS sim FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::INT AS hamming
+    FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 16
+      AND ({bandeq})
+    """
+
+    # ---- literal-hyperplane oracles (ANN / kNN / near-dup LSH):
+    # the SAME make_planes(seed=42) matrices embedded as double
+    # literals, so bucket signs and cosine folds run the identical
+    # IEEE-double op sequence on both engines
+    def _vec_sql(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {_vec_sql(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    planes8 = make_planes(64, 8, 42)
+    ORACLES["ann_lsh_top20"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qb AS (SELECT ({_bucket_sql('qv', planes8)}) AS qbits FROM q),
+    b AS (SELECT vec_id, v, ({_bucket_sql('v', planes8)}) AS bucket FROM e)
+    SELECT vec_id, ROUND(raw, 4) AS score FROM (
+      SELECT b.vec_id AS vec_id, {cos.format(a='b.v', b='q.qv')} AS raw
+      FROM b, q, qb
+      WHERE bit_count(xor(b.bucket::BIGINT, qb.qbits::BIGINT)) <= 4
+      ORDER BY raw DESC, vec_id ASC
+      LIMIT 20
+    )
+    """
+
+    planes6 = make_planes(64, 6, 42)
+    ORACLES["knn_graph_sample"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({_bucket_sql('v', planes6)}) AS bucket FROM e),
+    pairs AS (
+      SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
+             {cos.format(a='l.v', b='r.v')} AS raw
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, raw,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY raw DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id, ROUND(raw, 4) AS score
+    FROM ranked WHERE rn <= 3
+    """
+
+    ORACLES["emb_neardup_lsh_pairs"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({_bucket_sql('v', planes8)}) AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({cos.format(a='a.v', b='c.v')}, 4) AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {cos.format(a='a.v', b='c.v')} >= 0.35
+    """
+
+    # ---- Porter stems: the published Porter (1980) example
+    # vocabulary IS the oracle (no stemmer in offline DuckDB)
+    from spacetime_crawler4py_spark.functions.porter import (
+        PORTER_CLASSIC_VECTORS,
+    )
+
+    vals = ", ".join(
+        f"('{w}', '{s}')" for w, s in sorted(PORTER_CLASSIC_VECTORS.items())
+    )
+    ORACLES["p12_porter_stems"] = (
+        f"SELECT word, stem FROM (VALUES {vals}) AS t(word, stem)"
+    )
 
 
 _finalize()

@@ -81,7 +81,12 @@ def test_pandas_udf_report_parity(spark):
 
 
 def test_porter_classic_vectors():
-    # published examples from Porter (1980)
+    # published examples from Porter (1980) — single source shared
+    # with the p12_porter_stems driver oracle
+    from spacetime_crawler4py_spark.functions.porter import (
+        PORTER_CLASSIC_VECTORS,
+    )
+
     vectors = {
         "caresses": "caress", "ponies": "poni", "ties": "ti",
         "caress": "caress", "cats": "cat", "feed": "feed",
@@ -112,6 +117,7 @@ def test_porter_classic_vectors():
         "probate": "probat", "rate": "rate", "cease": "ceas",
         "controll": "control", "roll": "roll",
     }
+    assert vectors == PORTER_CLASSIC_VECTORS
     for word, expected in vectors.items():
         assert porter_stem(word) == expected, word
 
