@@ -79,25 +79,60 @@ def ics_subdomains(crawled: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- sinks
 
 
+def _stream_text_parts(lines: DataFrame, out_path: str, header: str = "") -> None:
+    """Golden-format text sink, distributed: rows are formatted and
+    globally ordered by Spark (range-partitioned part files), then the
+    driver streams the parts together BYTE-wise in filename order —
+    O(#files) driver memory, never O(rows).  The 10^10-page twin of
+    ``for row in collect(): f.write(...)``.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="report_parts_")
+    lines.write.mode("overwrite").text(tmp)
+    with open(out_path, "w") as out:
+        out.write(header)
+        for p in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            with open(p) as f:
+                shutil.copyfileobj(f, out)
+    shutil.rmtree(tmp)
+
+
 def write_report_files(crawled: DataFrame, out_dir: str) -> None:
     """Write the four golden-format text files ONCE (vs per-page).
 
     Formats mirror scraper.py:156-165, 183-190, 224-234, 268-272.
-    Report files are small (top-50, one argmax, URL lists) — written
-    driver-side after the distributed aggregation collapses.
+    The small aggregates (top-50, one argmax, counts) collect to the
+    driver; the two full URL LISTS (uniquePages, icsSubDomains) are
+    written distributed via _stream_text_parts — at 10^10 pages a
+    ``collect()`` of either is a driver OOM (VERDICT r1 #5).
     """
     import os
 
+    from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
+
     os.makedirs(out_dir, exist_ok=True)
 
-    pages = [r["url_defrag"] for r in unique_pages(crawled).collect()]
-    with open(os.path.join(out_dir, "uniquePages.txt"), "w") as f:
-        f.write(
+    n_pages = unique_page_count(crawled)
+    numbered, _interm = with_contiguous_index(
+        unique_pages(crawled), ["url_defrag"], "_i", start=1
+    )
+    _stream_text_parts(
+        numbered.select(
+            F.concat(
+                F.col("_i").cast("string"), F.lit(". "), F.col("url_defrag"), F.lit("\n")
+            ).alias("value")
+        ),
+        os.path.join(out_dir, "uniquePages.txt"),
+        header=(
             "The number of unique pages that have been found, "
-            f"solely based on URL: {len(pages)}\n"
-        )
-        for i, u in enumerate(sorted(pages), 1):
-            f.write(f"{i}. {u}\n\n")
+            f"solely based on URL: {n_pages}\n"
+        ),
+    )
+    _interm.unpersist()
 
     lp = longest_page(crawled).collect()
     with open(os.path.join(out_dir, "longestPage.txt"), "w") as f:
@@ -113,20 +148,25 @@ def write_report_files(crawled: DataFrame, out_dir: str) -> None:
             f.write(f"'{r['word']}' : {r['count']}\n")
         f.write("\nend")
 
-    subs = ics_subdomains(crawled).collect()
-    with open(os.path.join(out_dir, "icsSubDomains.txt"), "w") as f:
-        f.write(
-            "".join(f"{r['url_defrag']}, {r['n_links']}\n" for r in subs)
-        )
+    subs = ics_subdomains(crawled)
+    n_subs = subs.count()
+    _stream_text_parts(
+        subs.orderBy("url_defrag").select(
+            F.concat(
+                F.col("url_defrag"), F.lit(", "), F.col("n_links").cast("string")
+            ).alias("value")
+        ),
+        os.path.join(out_dir, "icsSubDomains.txt"),
+    )
 
     # composite answers file ("Answers to Questions.txt" shape)
     with open(os.path.join(out_dir, "Answers to Questions.txt"), "w") as f:
-        f.write(f"1. Unique pages (defragmented URL): {len(pages)}\n\n")
+        f.write(f"1. Unique pages (defragmented URL): {n_pages}\n\n")
         f.write("2. Longest page by word count:\n")
         for r in lp:
             f.write(f"   {r['url_defrag']} -> {r['wc']} words\n")
         f.write("\n3. Top 50 common words (minus stopwords):\n")
         for r in top:
             f.write(f"   '{r['word']}' : {r['count']}\n")
-        f.write(f"\n4. ics.uci.edu pages with unique-link counts: {len(subs)} entries")
+        f.write(f"\n4. ics.uci.edu pages with unique-link counts: {n_subs} entries")
         f.write(" (full table in icsSubDomains.txt)\n")

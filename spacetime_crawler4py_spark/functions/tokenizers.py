@@ -185,3 +185,89 @@ def pdf_tokenize_indexer(texts: pd.Series) -> pd.Series:
     return texts.map(
         lambda t: list(py_tokenize_indexer(t)) if t is not None else None
     )
+
+
+# ------------------------------------------------- tokenizer2 verbatim
+
+
+def py_tokenizer2_word_freq(tokens: list[str]) -> dict[str, int]:
+    """Pure-Python oracle of tokenizer2.py:15-24 VERBATIM (SURVEY §7
+    load-bearing bug): counts keyed by ORIGINAL case, membership
+    tested on the LOWERED form.  Consequences faithfully kept:
+
+    - a cased form repeated before its lowercase twin appears keeps
+      count 1 (each occurrence re-assigns ``dict[word] = 1``);
+    - once the exact-lowercase form has been inserted as a key, any
+      cased occurrence increments instead;
+    - a cased form whose FIRST occurrence comes after its lowercase
+      twin raises KeyError in the reference — reproduced here.
+    """
+    freq: dict[str, int] = {}
+    for word in tokens:
+        lowered = word.lower()
+        if lowered not in freq:
+            freq[word] = 1
+        else:
+            freq[word] += 1  # KeyError parity when word not a key yet
+    return freq
+
+
+def tokenizer2_word_freq(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed closed form of py_tokenizer2_word_freq over a
+    corpus, token stream ordered by (id_col, in-doc position).
+
+    Derivation (the dict loop is sequential; this is its algebraic
+    closed form, provable by case analysis on one surface form w with
+    lowered l and f_l = first position of the exact token l):
+    - w == l                  → n = #occurrences (normal counting)
+    - w ≠ l, l never occurs   → n = 1 (every occurrence re-assigns 1)
+    - w ≠ l, first(w) < f_l   → n = 1 + #occurrences after f_l
+    - w ≠ l, first(w) > f_l   → reference raises KeyError → ValueError
+
+    Everything is JVM expressions (regexp_extract_all + posexplode +
+    one join + one agg); the only driver action is the crash-parity
+    check.  Returns (word, n).
+    """
+    from pyspark.sql import DataFrame, functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z0-9]+"), 0)
+        ).alias("pos", "word"),
+    ).withColumn(
+        # global stream position: in-doc pos is < 2^32 by construction
+        "gpos", F.col("_id") * F.lit(4294967296) + F.col("pos")
+    ).withColumn("lw", F.lower("word"))
+
+    lower_first = (
+        toks.where(F.col("word") == F.col("lw"))
+        .groupBy(F.col("word").alias("_lkey"))
+        .agg(F.min("gpos").alias("f_l"))
+    )
+    j = toks.join(lower_first, toks["lw"] == lower_first["_lkey"], "left")
+    per_word = j.groupBy("word").agg(
+        F.min("gpos").alias("first_p"),
+        F.count("*").alias("n_occ"),
+        F.sum(
+            F.when(F.col("gpos") > F.col("f_l"), 1).otherwise(0)
+        ).alias("n_after"),
+        F.first("f_l").alias("f_l"),
+        F.first("lw").alias("lw"),
+    )
+    out = per_word.select(
+        "word",
+        F.when(F.col("word") == F.col("lw"), F.col("n_occ"))
+        .when(F.col("f_l").isNull(), F.lit(1))
+        .when(F.col("first_p") < F.col("f_l"), F.lit(1) + F.col("n_after"))
+        .otherwise(F.lit(None))  # crash condition marker
+        .cast("long")
+        .alias("n"),
+    )
+    n_crash = out.where(F.col("n").isNull()).count()
+    if n_crash:
+        raise ValueError(
+            f"tokenizer2 KeyError parity: {n_crash} cased form(s) first "
+            "seen after their lowercase twin (the reference crashes here)"
+        )
+    return out

@@ -5,9 +5,11 @@ Reference behaviors mapped (SURVEY.md §3.3, §2.4 J3-J5):
 - query → split on spaces → Porter-stem each word
   (indexerV1.py:541-542)
 - per-word candidate postings: top-1000 by score
-  (indexerV1.py:488), fuzzy token match ≥.95 ≈ levenshtein ≤ 1 on
-  same-ish length (J5; difflib cutoff .95 on short tokens means
-  near-exact — we expose exact match by default, fuzzy optional)
+  (indexerV1.py:488); J5 fuzzy token match: exact by default,
+  ``fuzzy=True`` for a fast levenshtein-≤1 JVM approximation, and
+  ``fuzzy='difflib'`` for reference-VERBATIM ratio matching
+  (difflib.get_close_matches cutoff .95, indexerV1.py:478, falling
+  back to .85, indexer.py:719) behind a JVM length prefilter
 - multi-word AND: sorted-merge intersection on doc_id
   (indexer.py:435-450) ≡ Spark inner join (J4 — a sort-merge join
   IS that algorithm), scores summed across terms
@@ -24,6 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,10 +37,47 @@ def stem_query(query: str) -> list[str]:
     return [porter_stem(w) for w in query.split(" ") if w]
 
 
+def _difflib_filter(tfidf: DataFrame, term: str, cutoff: float) -> DataFrame:
+    """Verbatim J5 parity: difflib.get_close_matches(term, [token],
+    cutoff=c) per index token — the reference's exact call shape
+    (indexerV1.py:478 with c=.95; indexer.py:719 with c=.85).
+
+    Scale shape: a JVM length prefilter runs BEFORE the Arrow UDF —
+    difflib's own real_quick_ratio bound (2·min(la,lb)/(la+lb) ≥ c)
+    is a pure length inequality, so only tokens inside
+    [len·c/(2−c), len·(2−c)/c] ever cross into Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def close(tokens: pd.Series) -> pd.Series:
+        import difflib
+
+        return tokens.map(
+            lambda t: bool(difflib.get_close_matches(term, [t], cutoff=cutoff))
+        )
+
+    n = len(term)
+    lo = int(-(-n * cutoff // (2 - cutoff)))  # ceil
+    hi = int(n * (2 - cutoff) / cutoff)
+    return tfidf.where(F.length("token").between(lo, hi)).where(
+        close(F.col("token"))
+    )
+
+
 def _term_postings(
-    tfidf: DataFrame, term: str, per_term_limit: int, fuzzy: bool
+    tfidf: DataFrame, term: str, per_term_limit: int, fuzzy
 ) -> DataFrame:
-    if fuzzy:
+    """``fuzzy``: False → exact token match; True → levenshtein ≤ 1
+    (fast JVM approximation); 'difflib' → reference-verbatim ratio
+    matching at cutoff .95, falling back to .85 when .95 matches
+    nothing (the indexerV1 → indexer two-tier)."""
+    if fuzzy == "difflib":
+        cand = _difflib_filter(tfidf, term, 0.95)
+        if cand.limit(1).count() == 0:
+            cand = _difflib_filter(tfidf, term, 0.85)
+    elif fuzzy:
         cand = tfidf.where(
             (F.length("token") >= F.length(F.lit(term)) - 1)
             & (F.length("token") <= F.length(F.lit(term)) + 1)
@@ -58,7 +98,7 @@ def search(
     query: str,
     top_k: int = 10,
     per_term_limit: int = 1000,
-    fuzzy: bool = False,
+    fuzzy: bool | str = False,
     last_word_only: bool = False,
     mode: str = "and",
 ) -> DataFrame:

@@ -509,6 +509,52 @@ def f12_stopwords(spark, sf_dir):
 
 
 @_q(
+    "a5_tokenizer2_verbatim",
+    """
+    WITH toks AS (
+      SELECT doc_id::BIGINT * 4294967296 + (pos - 1) AS gpos,
+             word, lower(word) AS lw
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS word,
+               generate_subscripts(regexp_extract_all(text, '[a-zA-Z0-9]+'), 1) AS pos
+        FROM documents
+      )
+    ), lower_first AS (
+      SELECT word AS lkey, MIN(gpos) AS f_l FROM toks WHERE word = lw GROUP BY word
+    ), per_word AS (
+      SELECT t.word, MIN(t.gpos) AS first_p, COUNT(*) AS n_occ,
+             SUM(CASE WHEN t.gpos > lf.f_l THEN 1 ELSE 0 END) AS n_after,
+             ANY_VALUE(lf.f_l) AS f_l, ANY_VALUE(t.lw) AS lw
+      FROM toks t LEFT JOIN lower_first lf ON t.lw = lf.lkey
+      GROUP BY t.word
+    )
+    SELECT word,
+      (CASE WHEN word = lw THEN n_occ
+           WHEN f_l IS NULL THEN 1
+           WHEN first_p < f_l THEN 1 + n_after
+           ELSE NULL END)::BIGINT AS n
+    FROM per_word
+    """,
+)
+def a5_tokenizer2(spark, sf_dir):
+    """A5 variant, tokenizer2.py:15-24 computeWordFrequencies
+    VERBATIM (SURVEY §7 load-bearing bug: counts keyed by original
+    case, membership tested lowered) — distributed closed form over
+    the global (doc_id, pos) token stream, KeyError crash parity
+    included.  All-JVM: regexp_extract_all + posexplode + one join +
+    one agg; see functions/tokenizers.py:tokenizer2_word_freq for
+    the case-analysis derivation."""
+    from spacetime_crawler4py_spark.functions.tokenizers import (
+        tokenizer2_word_freq,
+    )
+
+    return tokenizer2_word_freq(
+        _t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
+
+
+@_q(
     "a6a8_tfidf",
     f"""
     WITH toks AS (

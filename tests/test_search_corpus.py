@@ -61,3 +61,72 @@ def test_and_narrower_than_or(index):
     res_and = search(scores, docs, "research data", mode="and", top_k=1000).collect()
     res_or = search(scores, docs, "research data", mode="or", top_k=1000).collect()
     assert len(res_and) <= len(res_or)
+
+
+# ---------------------------------------------------- J5 difflib parity
+
+
+def test_difflib_fuzzy_matches_reference_call_shape(index):
+    """fuzzy='difflib' must admit EXACTLY the tokens the reference's
+    per-token call difflib.get_close_matches(term, [token], cutoff=c)
+    admits (indexerV1.py:478 c=.95; indexer.py:719 c=.85) — i.e. the
+    JVM length prefilter must never drop a difflib-accepted token."""
+    import difflib
+
+    from spacetime_crawler4py_spark.indexing.search import _difflib_filter
+
+    scores, _ = index
+    tokens = [r["token"] for r in scores.select("token").distinct().collect()]
+    for term, cutoff in [
+        ("research", 0.95),
+        ("research", 0.85),
+        ("resaerch", 0.85),  # transposition misspelling
+        ("data", 0.85),
+        ("xq", 0.95),        # matches nothing
+    ]:
+        expected = {
+            t
+            for t in tokens
+            if difflib.get_close_matches(term, [t], cutoff=cutoff)
+        }
+        got = {
+            r["token"]
+            for r in _difflib_filter(scores, term, cutoff)
+            .select("token")
+            .distinct()
+            .collect()
+        }
+        assert got == expected, (term, cutoff)
+
+
+def test_difflib_two_tier_fallback(index):
+    """The .95→.85 two-tier: a stemmed term absent at .95 must fall
+    back to .85 candidates inside search(), like indexer.py's looser
+    pass; and fuzzy='difflib' must never error on nonsense."""
+    import difflib
+
+    from spacetime_crawler4py_spark.indexing.search import stem_query
+
+    scores, docs = index
+    tokens = [r["token"] for r in scores.select("token").distinct().collect()]
+    # find a real corpus-driven misspelling: a stem matching at .85 not .95
+    term = None
+    for cand in ("reserch", "machin", "learing", "spak", "dat"):
+        s = stem_query(cand)[0]
+        hit95 = any(
+            difflib.get_close_matches(s, [t], cutoff=0.95) for t in tokens
+        )
+        hit85 = any(
+            difflib.get_close_matches(s, [t], cutoff=0.85) for t in tokens
+        )
+        if not hit95 and hit85:
+            term = cand
+            break
+    assert term is not None, "fixture corpus lost all near-miss terms"
+    res = search(scores, docs, term, top_k=10, fuzzy="difflib", mode="or").collect()
+    assert len(res) > 0
+    # nonsense must return empty, not raise
+    assert (
+        search(scores, docs, "jayaywfajsuwgvq", fuzzy="difflib", mode="or").count()
+        == 0
+    )

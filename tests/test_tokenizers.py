@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spacetime_crawler4py_spark.functions import tokenizers as T
@@ -143,3 +144,54 @@ def test_simhash_properties(spark):
     df2 = spark.createDataFrame([("hello world text sample",)], ["t"])
     got = df2.select(S.pdf_simhash64(F.col("t")).alias("s")).collect()[0]["s"]
     assert got == S.py_simhash64("hello world text sample")
+
+
+# ------------------------------------------- tokenizer2 verbatim mode
+
+
+def test_tokenizer2_py_oracle_quirks():
+    """Pin computeWordFrequencies (tokenizer2.py:15-24) verbatim:
+    cased-key / lowered-membership, including the KeyError crash."""
+    f = T.py_tokenizer2_word_freq
+    # normal lowercase counting
+    assert f(["a", "b", "a"]) == {"a": 2, "b": 1}
+    # cased form before its lowercase twin: re-assigned 1 until twin
+    # appears, then increments
+    assert f(["Beta", "Beta", "beta", "Beta"]) == {"Beta": 2, "beta": 1}
+    # cased form whose lowercase twin never appears: stuck at 1
+    assert f(["Gamma", "Gamma", "Gamma"]) == {"Gamma": 1}
+    # digits are case-stable → normal counting
+    assert f(["42", "42"]) == {"42": 2}
+    # crash parity: cased form FIRST seen after its lowercase twin
+    with pytest.raises(KeyError):
+        f(["theta", "Theta"])
+
+
+def test_tokenizer2_distributed_matches_py_oracle(spark):
+    import re
+
+    docs = [
+        # NOTE: the stream is GLOBAL (doc_id, pos) order — a cased
+        # form anywhere after its lowercase twin (even cross-doc)
+        # crashes, exactly like feeding the reference one token list.
+        (0, "ALPHA alpha Beta beta Beta gamma alpha ALPHA"),
+        (1, "Delta Delta delta Delta 42 42 x9"),
+        (2, "Epsilon Epsilon zz zz zz Beta"),
+    ]
+    stream = []
+    for _, text in docs:
+        stream += re.findall("[a-zA-Z0-9]+", text)
+    expected = T.py_tokenizer2_word_freq(stream)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["word"]: r["n"]
+        for r in T.tokenizer2_word_freq(df).collect()
+    }
+    assert got == expected
+
+
+def test_tokenizer2_distributed_crash_parity(spark):
+    df = spark.createDataFrame([(0, "theta Theta")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="KeyError parity"):
+        T.tokenizer2_word_freq(df)
