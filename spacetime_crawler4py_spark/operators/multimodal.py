@@ -2,12 +2,22 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture here is real and tested — schemas,
-partition-preserving batch flow, UDF signatures, batch shapes.  The
-codec layer is STUBBED (image/audio libraries are not in this
-container): ``decode_image``/``decode_audio`` raise
+partition-preserving batch flow, UDF signatures, batch shapes.
+
+Codecs: the container has no image/audio libraries, so the REAL
+path is pure-stdlib parsers for the two uncompressed container
+formats stdlib can express:
+
+- image: BMP (BITMAPINFOHEADER, 24-bpp, BI_RGB) — header offsets
+  per the public Windows BMP layout; bottom-up rows, 4-byte row
+  padding, BGR byte order.
+- audio: RIFF/WAVE PCM via the stdlib ``wave`` module (8/16-bit).
+
+``encode_bmp``/``encode_wav`` produce those formats so fixtures
+and the synthetic media generator exercise the real decode path
+end-to-end.  Compressed formats (JPEG/PNG/MP3/MP4) still raise
 NotImplementedError unless ``fake=True``, which substitutes a
-deterministic content-hash-derived feature vector so the
-distributed plumbing is exercisable end-to-end.
+deterministic content-hash-derived stand-in.
 
 Design for 100 TB of media:
 - media rows are (id, kind, media binary, meta struct) — the binary
@@ -50,28 +60,152 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24-bpp BI_RGB BMP bytes (pure stdlib)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_pad = (-(w * 3)) % 4
+    pixel_bytes = (w * 3 + row_pad) * h
+    off = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    pad = b"\x00" * row_pad
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1]  # RGB → BGR
+        out += row.tobytes() + pad
+    return bytes(out)
+
+
 def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image to HxWx3 uint8.  STUB: real decode needs an
-    image codec library not present in this container."""
+    """Decode an image to HxWx3 uint8 (RGB).
+
+    REAL path: uncompressed 24-bpp BI_RGB BMP, parsed with struct —
+    no codec library needed.  Anything else (JPEG/PNG/...) requires
+    codecs absent from this container → NotImplementedError, or the
+    deterministic stand-in when ``fake=True``.
+    """
+    import struct
+
+    if len(raw) >= 54 and raw[:2] == b"BM":
+        off = struct.unpack_from("<I", raw, 10)[0]
+        hdr_size = struct.unpack_from("<I", raw, 14)[0]
+        if hdr_size >= 40:
+            w, h = struct.unpack_from("<ii", raw, 18)
+            bpp = struct.unpack_from("<H", raw, 28)[0]
+            comp = struct.unpack_from("<I", raw, 30)[0]
+            if bpp == 24 and comp == 0 and w > 0 and h != 0:
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (w * 3 + 3) & ~3
+                px = np.frombuffer(raw, np.uint8, count=stride * h, offset=off)
+                rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                if bottom_up:
+                    rows = rows[::-1]
+                return rows[:, :, ::-1].copy()  # BGR → RGB
     if not fake:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stand-in"
+            "only uncompressed 24-bpp BMP decodes without codec "
+            "libraries; pass fake=True for the deterministic stand-in"
         )
     h = hashlib.sha256(raw).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 waveform in [-1, 1] → 16-bit PCM WAV bytes (stdlib)."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def decode_audio(raw: bytes, fake: bool = False) -> np.ndarray:
-    """Decode audio to a float32 waveform.  STUB (see decode_image)."""
+    """Decode audio to a mono float32 waveform in [-1, 1].
+
+    REAL path: RIFF/WAVE PCM (8/16-bit) via the stdlib ``wave``
+    module.  Compressed audio → NotImplementedError / fake stand-in.
+    """
+    import io
+    import wave
+
+    if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(raw), "rb") as w:
+                nch, width, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+                frames = w.readframes(nframes)
+            if width == 2:
+                x = np.frombuffer(frames, "<i2").astype(np.float32) / 32767.0
+            elif width == 1:
+                x = (np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0) / 128.0
+            else:
+                raise wave.Error(f"unsupported sample width {width}")
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            return x
+        except wave.Error:
+            pass  # non-PCM / malformed → fall through
     if not fake:
         raise NotImplementedError(
-            "audio codecs unavailable in this environment; pass fake=True"
+            "only PCM WAV decodes without codec libraries; pass fake=True"
         )
     h = hashlib.sha256(raw).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.standard_normal(256).astype(np.float32)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (the UDF-side 'resize'
+    op for thumbnailing/feature grids — no image library)."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray, dim: int) -> list[float]:
+    """Deterministic real features from decoded pixels: per-channel
+    mean/std + a nearest-neighbor-resized grayscale grid, truncated
+    or zero-padded to ``dim``."""
+    stats = [
+        float(img[:, :, c].mean() / 255.0) for c in range(3)
+    ] + [float(img[:, :, c].std() / 255.0) for c in range(3)]
+    side = max(int(np.ceil(np.sqrt(max(dim - 6, 1)))), 1)
+    grid = resize_image(img, side, side).mean(axis=2).ravel() / 255.0
+    v = (stats + [float(g) for g in grid])[:dim]
+    return v + [0.0] * (dim - len(v))
+
+
+def audio_features(x: np.ndarray, dim: int) -> list[float]:
+    """Deterministic real features from a waveform: RMS, zero-cross
+    rate, then coarse FFT magnitude bands, sized to ``dim``."""
+    if len(x) == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(x**2)))
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if len(x) > 1
+        else 0.0
+    )
+    n_bands = max(dim - 2, 1)
+    mag = np.abs(np.fft.rfft(x))
+    bands = [
+        float(b.mean()) if len(b) else 0.0
+        for b in np.array_split(mag, n_bands)
+    ]
+    v = ([rms, zcr] + bands)[:dim]
+    return v + [0.0] * (dim - len(v))
 
 
 def _fake_features(raw: bytes, dim: int) -> list[float]:
@@ -106,6 +240,15 @@ def featurize(
         ]
     )
 
+    def one(kind: str, raw: bytes) -> list[float]:
+        if fake:
+            return _fake_features(raw, dim)
+        if kind == "audio":
+            return audio_features(decode_audio(raw), dim)
+        # image, or a video whose payload is a raw frame dump (BMP):
+        # real video containers need codecs this environment lacks.
+        return image_features(decode_image(raw), dim)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = pdf[media_col]
@@ -114,7 +257,8 @@ def featurize(
                     id_col: pdf[id_col],
                     "kind": pdf["kind"],
                     "features": [
-                        _fake_features(bytes(r), dim) if fake else None for r in raws
+                        one(k, bytes(r))
+                        for k, r in zip(pdf["kind"], raws)
                     ],
                     "n_bytes": [len(r) for r in raws],
                 }
@@ -141,19 +285,42 @@ def frame_sample_plan(
     )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests/bench."""
+def synth_media(
+    spark, n: int = 64, seed: int = 42, real: bool = False
+) -> DataFrame:
+    """Deterministic synthetic media table for tests/bench.
+
+    ``real=True`` emits genuinely decodable payloads (24-bpp BMP
+    images, PCM WAV audio, BMP frame dumps for video) so the
+    non-fake featurize path runs end-to-end; default is opaque
+    random bytes for plumbing-only tests.
+    """
     import random
 
     rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        raw = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+        if real:
+            if kind == "audio":
+                wave_f = nprng.standard_normal(rng.randint(256, 1024)) * 0.2
+                raw = encode_wav(wave_f.astype(np.float32))
+                w = h = 0
+            else:
+                w, h = rng.randint(4, 24), rng.randint(4, 24)
+                img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                raw = encode_bmp(img)
+            mime = {"image": "image/bmp", "audio": "audio/wav",
+                    "video": "video/x-raw-frame"}[kind]
+        else:
+            raw = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+            w, h = rng.randint(16, 64), rng.randint(16, 64)
+            mime = "application/octet-stream"
         meta = (
-            "application/octet-stream",
-            rng.randint(16, 64),
-            rng.randint(16, 64),
+            mime,
+            w,
+            h,
             rng.randint(1000, 10000) if kind == "video" else 0,
             len(raw),
         )
