@@ -1,0 +1,95 @@
+"""Distributed connected components over an edge DataFrame.
+
+Alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — public paper):
+each iteration is two groupBy-shuffles on node id; converges in
+O(log² n) rounds (in practice <10 for web-scale near-dup graphs,
+whose components are tiny and star-shaped).
+
+Used by dedup representative selection: near-dup PAIRS (an edge
+list) → components → one kept representative per component.  At
+100 TB the edge list is the output of a bucketed LSH join (bounded
+candidates), so each iteration shuffles only edges, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One star-contraction round.  Edges are kept as (u, v) with
+    the invariant u > v after each round (parent pointers toward
+    the component minimum).
+
+    large-star: for each node u, connect every STRICTLY LARGER
+    neighbor to u's minimum neighbor (or u itself if u is the min).
+    small-star: connect all smaller-or-equal neighbors + u to the
+    minimum.  Both are a groupBy(u) + explode — two narrow shuffles.
+    """
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.least(F.col("u"), F.array_min("vs"))
+    if large:
+        targets = F.filter(F.col("vs"), lambda x: x > F.col("u"))
+    else:
+        targets = F.filter(F.col("vs"), lambda x: x <= F.col("u"))
+    out = grouped.select(
+        F.explode(
+            F.array_union(targets, F.array(F.col("u")))
+        ).alias("a"),
+        m.alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return out.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = the minimum node id of its component.
+
+    Each iteration materializes the shrinking edge list (cached) and
+    stops when the large-star round is a fixed point (edge count and
+    sum-of-endpoints stable — cheap aggregate, no collect of edges).
+    Isolated nodes never appear in ``pairs`` and are their own
+    components by definition (callers left-join and coalesce).
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = _star(_star(edges, large=True), large=False).cache()
+        sig = tuple(
+            nxt.agg(
+                F.count("*").alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+            ).first()
+        )
+        edges.unpersist()
+        edges = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # after convergence every edge is (node, component_min)
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    out = comp.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+    edges.unpersist()
+    return out
