@@ -702,6 +702,26 @@ def dedup_minhash(spark, sf_dir):
     return minhash_dedup(d, threshold=0.5).select("doc_id")
 
 
+@_q("dedup_minhash_cc", None)  # oracle attached in _finalize (recursive CTE)
+def dedup_minhash_cc(spark, sf_dir):
+    """Connected components over the minhash near-dup pair graph
+    (operators/graph.py large-star/small-star) — hard-verified
+    against a DuckDB WITH RECURSIVE transitive-closure twin.  The
+    iterative Spark algorithm and the recursive SQL compute the same
+    (node, component-min) fixpoint by completely different routes,
+    so a hash match certifies the distributed CC itself."""
+    from spacetime_crawler4py_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from spacetime_crawler4py_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", n=3, k=64, seed=42)
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 @_q("dedup_simhash_pairs", None)  # md5-int simhash not expressible in SQL
 def dedup_simhash(spark, sf_dir):
     """Banded simhash near-dup candidates at a loose radius (the
@@ -1187,6 +1207,41 @@ def _finalize() -> None:
     )
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """
+
+    # ---- connected components over the same minhash pair graph:
+    # DuckDB recursive transitive closure (min reachable id) as the
+    # independent twin of the large-star/small-star iteration
+    ORACLES["dedup_minhash_cc"] = f"""
+    WITH RECURSIVE ws_t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), sh_t AS (
+      SELECT doc_id, unnest({sh}) AS s FROM ws_t
+    ), h_t AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE_P} AS h FROM sh_t
+    ), sig_t AS (
+      SELECT doc_id, {mins}
+      FROM h_t GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, {sig_list} AS sig,
+             unnest({band_ids}) AS band, unnest({band_keys}) AS bkey
+      FROM sig_t
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), edges0 AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+    ), edges AS (
+      SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
     """
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
