@@ -39,6 +39,10 @@ HEADLINE = [
 ]
 
 BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
+# politeness window for the crawl bench: cap/host = window/delay(500ms).
+# Default 1e6 → 2000/host; widen (e.g. 8e6 → 16k/host) for the
+# wide-batch scale-stress configuration (BENCH.md "wide-batch" row).
+BENCH_WINDOW_MS = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW_MS", "1000000"))
 
 
 def _bench_corpus_dir(spark) -> str:
@@ -66,7 +70,7 @@ def run_crawl_bench(spark) -> dict:
             pages_path=f"{corpus}/pages.parquet",
             status_path=f"{corpus}/fetch_status.parquet",
             seeds=SEED_URLS,
-            window_ms=1_000_000,  # politeness cap 2000/host: drain fast
+            window_ms=BENCH_WINDOW_MS,  # default cap 2000/host: drain fast
         )
         t0 = time.time()
         eng.run()
@@ -82,12 +86,30 @@ def run_crawl_bench(spark) -> dict:
             .collect()[0]["s"]
             or 0
         )
+        m = (
+            spark.read.parquet(os.path.join(state, "metrics"))
+            .agg(
+                F.count("*").alias("n_batches"),
+                F.max("n_fetched").alias("max_batch"),
+                F.sum("t_sched_ms").alias("sched"),
+                F.sum("t_parse_ms").alias("parse"),
+                F.sum("t_links_ms").alias("links"),
+            )
+            .collect()[0]
+        )
         return {
             "wall_sec": round(wall, 2),
             "n_fetched": n_fetched,
             "pages_per_sec": round(n_fetched / wall, 2),
             "n_link_candidates": int(n_links),
             "dedup_ops_per_sec": round(int(n_links) / wall, 2),
+            "n_batches": int(m["n_batches"]),
+            "max_batch_urls": int(m["max_batch"]),
+            "stage_ms": {
+                "schedule": int(m["sched"]),
+                "fetch_parse_sink": int(m["parse"]),
+                "link_pipeline": int(m["links"]),
+            },
         }
     finally:
         shutil.rmtree(state, ignore_errors=True)

@@ -103,8 +103,16 @@ class CrawlEngine:
             else None
         )
         # F9 (crawler/frontier.py:43): on resume, pending rows are
-        # re-checked against is_valid before scheduling.
+        # re-checked against is_valid before scheduling.  The
+        # reference filter runs ONCE, at TBD rebuild — it applies
+        # only to entries already in the save file at restart; urls
+        # discovered afterwards are never re-checked (add_url does
+        # not re-validate).  We mirror that with a batch-id floor:
+        # only pre-resume discoveries pass through the filter.
         self.revalidate = revalidate_on_resume
+        self._revalidate_floor = (
+            self.store.last_batch_id() if revalidate_on_resume else -1
+        )
         self._bloom = None
         self._bloom_age = 0
         # driver-tracked seq high-water mark: avoids a full scan of
@@ -181,7 +189,10 @@ class CrawlEngine:
         t0 = time.time()
         pending = self.store.pending()
         if self.revalidate:
-            pending = pending.where(col_is_valid(F.col("url"), self.parity))
+            pending = pending.where(
+                col_is_valid(F.col("url"), self.parity)
+                | (F.col("batch_id") > F.lit(self._revalidate_floor))
+            )
         if self.robots is not None:
             from spacetime_crawler4py_spark.frontier.robots import filter_allowed
 
@@ -208,6 +219,7 @@ class CrawlEngine:
         # order and the completion flips all derive from it with no
         # further Spark jobs.
         batch_rows = batch.select("url_hash", "url", "host", "fetch_order").collect()
+        t_sched = time.time()
         n_batch = len(batch_rows)
         # the scheduler's fetch_order intermediate has served its
         # purpose once the batch is cached + collected
@@ -265,6 +277,7 @@ class CrawlEngine:
             .parquet(os.path.join(self.state_dir, "crawled_pages"))
         )
 
+        t_parse = time.time()
         # ---- crawl-order log (golden: Logs/Worker.log "Downloaded"
         # lines) — driver-side pyarrow append, no Spark job
         self.store.append_rows(
@@ -398,11 +411,19 @@ class CrawlEngine:
             {"url_hash": [r["url_hash"] for r in batch_rows]},
         )
 
-        wall_ms = int((time.time() - t0) * 1000)
+        t_links = time.time()
+        wall_ms = int((t_links - t0) * 1000)
         meta = {
             "n_batch": n_batch,
             "n_new": n_new,
             "wall_ms": wall_ms,
+            # per-stage splits (wide-batch scale evidence): schedule
+            # (pending scan + politeness windows + batch collect),
+            # fetch-join/parse/sink, link-pipeline (validity → dedup
+            # → distributed seq → discovered append + bloom delta)
+            "t_sched_ms": int((t_sched - t0) * 1000),
+            "t_parse_ms": int((t_parse - t_sched) * 1000),
+            "t_links_ms": int((t_links - t_parse) * 1000),
         }
         # ---- per-batch metrics + per-host (partition-key) lineage
         # (north_rule: "per-partition lineage/metrics"); both derive
@@ -410,7 +431,14 @@ class CrawlEngine:
         self.store.append_rows(
             "metrics",
             batch_id,
-            {"n_fetched": [n_batch], "n_new_urls": [n_new], "wall_ms": [wall_ms]},
+            {
+                "n_fetched": [n_batch],
+                "n_new_urls": [n_new],
+                "wall_ms": [wall_ms],
+                "t_sched_ms": [meta["t_sched_ms"]],
+                "t_parse_ms": [meta["t_parse_ms"]],
+                "t_links_ms": [meta["t_links_ms"]],
+            },
         )
         sched_by_host: dict[str, int] = {}
         for r in batch_rows:

@@ -122,11 +122,36 @@ class OracleCrawler:
 
         return [l for l in links if py_is_valid(l)]
 
+    # ---- resume (crawler/frontier.py:38-48 _parse_save_file)
+
+    def restart(self) -> None:
+        """Simulate process death + reference restart: the TBD stack
+        is REBUILT from the save file — every uncompleted, still-valid
+        url, in save-file iteration order.
+
+        Shelve-order model: the reference iterates
+        ``self.save.values()`` (frontier.py:42); dbm backends iterate
+        in hash-bucket order, which on any given run is a fixed
+        permutation of insertion order.  We model it as insertion
+        order (``self.r.seen`` is a Python dict) — the same contract
+        the engine implements by ordering pending on ``seq``.  At any
+        completion boundary this rebuild equals the live stack (pops
+        always take the newest uncompleted entry and complete it), so
+        a restarted crawl is byte-identical to an uninterrupted one —
+        pinned by test_oracle_restart_rebuild_parity.
+        """
+        self.tbd = [
+            url
+            for url, completed in self.r.seen.values()
+            if not completed and py_is_valid(url)
+        ]
+
     # ---- worker loop (crawler/worker.py:20-34)
 
-    def run(self, max_pages: int | None = None) -> OracleResult:
-        for s in self.seeds:
-            self.add_url(s)
+    def run(self, max_pages: int | None = None, seed_frontier: bool = True) -> OracleResult:
+        if seed_frontier:
+            for s in self.seeds:
+                self.add_url(s)
         n = 0
         while self.tbd:
             url = self.tbd.pop()  # LIFO
