@@ -130,3 +130,140 @@ def knn_join(
         .where(F.col("_rn") <= k)
         .select("vec_id", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------- IVF ANN
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means coarse quantizer for IVF.
+
+    Init: the k lowest-id vectors (reproducible across engines; a
+    production fit would use k-means||, which changes only this
+    seeding step).  Each iteration:
+
+    1. assign — distances to all k centroids as one JVM expression
+       (centroids are LITERALS: k·dim doubles, broadcast-in-plan;
+       argmin = array_min over (dist, cid) structs, ties by cid);
+    2. re-center — posexplode to (cid, pos, val) and a (cid, pos)
+       average: an n·dim-row shuffle into k·dim groups — the
+       standard distributed re-center, no collect of vectors.
+
+    Centroid components are ROUNDED to ``round_decimals`` — that
+    quantization is the operator contract (a coarse quantizer is
+    already approximate) and makes the fit bit-reproducible across
+    engines whose float-sum orders differ (the DuckDB oracle twin
+    replays the same rounded iterations).
+
+    Returns driver-side [(cid, centroid)] — k·dim floats, tiny.
+    Empty clusters keep their previous centroid.
+    """
+    init = emb.orderBy(id_col).limit(k).collect()
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, vec_col, id_col)
+        pe = emb.join(assigned, id_col).select(
+            "cid", F.posexplode(vec_col).alias("pos", "val")
+        )
+        avg = pe.groupBy("cid", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), round_decimals).alias("v")
+        )
+        rows = (
+            avg.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("a")
+            )
+            .collect()
+        )
+        new = {r["cid"]: [float(x["v"]) for x in r["a"]] for r in rows}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def _sq_dist(vec_col: str, centroid: list[float]):
+    """Σ (v_i − c_i)² as a left-to-right fold in DOUBLE — the fold
+    order is part of the cross-engine contract (floating-point sums
+    are order-sensitive; aggregate() folds in index order, as does
+    the oracle's unrolled sum chain)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            c,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cid): nearest centroid by squared L2, ties to the
+    lower cid.  Pure JVM — array_min over (dist, cid) structs."""
+    choices = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec_col, vec).alias("d"), F.lit(cid).alias("cid")
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return emb.select(
+        F.col(id_col),
+        F.array_min(choices)["cid"].alias("cid"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest coarse clusters,
+    exact cosine inside them only.
+
+    Scale shape: assignment is an embarrassingly parallel map; in a
+    real deployment the table is WRITTEN partitioned by cid (the
+    inverted lists), so the probe is partition pruning — the scan
+    touches ~nprobe/k of the data before any distance arithmetic.
+    Here the assign happens inline on the small test table.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=n_centroids, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    qd = [
+        (sum((float(q) - c) * (float(q) - c) for q, c in zip(query_vec, vec)), cid)
+        for cid, vec in centroids
+    ]
+    probe = [cid for _, cid in sorted(qd)[:nprobe]]
+    assigned = ivf_assign(emb, centroids, vec_col, id_col)
+    q = _query_lit(query_vec)
+    return (
+        emb.join(assigned, id_col)
+        .where(F.col("cid").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            cosine_sim(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -702,6 +702,23 @@ def dedup_minhash(spark, sf_dir):
     return minhash_dedup(d, threshold=0.5).select("doc_id")
 
 
+@_q("ann_ivf_top10", None)  # oracle attached in _finalize (unrolled Lloyd)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py): deterministic k-means
+    coarse quantizer (k=8, 2 Lloyd iterations, centroids rounded to
+    6 dp — the cross-engine contract), probe the 2 nearest clusters,
+    exact cosine inside them.  The DuckDB twin REPLAYS the entire
+    fit as unrolled SQL (init → assign → re-center ×2 → probe →
+    score), so a hash match certifies the whole IVF pipeline, not a
+    snapshot."""
+    from spacetime_crawler4py_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(e, q, k=10, n_centroids=8, nprobe=2, n_iter=2)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @_q("dedup_minhash_cc", None)  # oracle attached in _finalize (recursive CTE)
 def dedup_minhash_cc(spark, sf_dir):
     """Connected components over the minhash near-dup pair graph
@@ -1242,6 +1259,77 @@ def _finalize() -> None:
       SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
     )
     SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """
+
+    # ---- IVF ANN: the ENTIRE deterministic k-means fit replayed in
+    # SQL.  Distance/dot sums are unrolled left-to-right chains —
+    # bitwise-identical to Spark's aggregate() index-order fold; the
+    # 6-dp centroid rounding (the operator contract) absorbs the
+    # engines' different AVG accumulation orders.
+    _dim, _k, _nprobe = 64, 8, 2
+
+    def _l2(a: str, b: str) -> str:
+        return "(" + " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(1, _dim + 1)
+        ) + ")"
+
+    def _dot(a: str, b: str) -> str:
+        return "(" + " + ".join(
+            f"{a}[{i}]*{b}[{i}]" for i in range(1, _dim + 1)
+        ) + ")"
+
+    def _assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {_l2("e.v", "c.c")}, c.cid
+               ) AS rn
+        FROM e, {cents} c)
+      WHERE rn = 1
+    )"""
+
+    def _recenter_cte(assign: str, prev: str, out: str) -> str:
+        return f"""n_{out} AS (
+      SELECT {assign}.cid, p.pos, ROUND(AVG(e.v[p.pos]), 6) AS val
+      FROM {assign} JOIN e USING (vec_id),
+           (SELECT unnest(range(1, {_dim + 1})) AS pos) p
+      GROUP BY {assign}.cid, p.pos
+    ), {out} AS (
+      SELECT {prev}.cid, COALESCE(g.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cid, list(val ORDER BY pos) AS c FROM n_{out} GROUP BY cid
+      ) g USING (cid)
+    )"""
+
+    ORACLES["ann_ivf_top10"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_k}
+    ), {_assign_cte("a1", "c0")},
+    {_recenter_cte("a1", "c0", "c1")},
+    {_assign_cte("a2", "c1")},
+    {_recenter_cte("a2", "c1", "c2")},
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY {_l2("qv.v", "c2.c")}, c2.cid) AS rn
+        FROM c2, qv)
+      WHERE rn <= {_nprobe}
+    ), {_assign_cte("a3", "c2")}
+    SELECT e.vec_id,
+           ROUND({_dot("e.v", "qv.v")}
+                 / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("qv.v", "qv.v")})),
+                 4) AS score
+    FROM e JOIN a3 USING (vec_id), qv
+    WHERE a3.cid IN (SELECT cid FROM probe)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
     """
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature

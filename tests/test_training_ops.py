@@ -279,3 +279,41 @@ def test_chained_cluster_semantics(spark):
     # reference incremental-arrival: B dropped (near kept A), C KEPT
     # (similar only to the dropped B) — the documented divergence
     assert kept_arrival == {0, 2, 3}
+
+
+def test_ivf_ann(spark):
+    """IVF coarse-quantizer ANN: deterministic k-means fit, exact
+    search within probed clusters; recall vs brute force."""
+    import numpy as np
+
+    from spacetime_crawler4py_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = [float(x) for x in rows[0]["embedding"]]
+    qv = np.array(q)
+
+    cents = S.kmeans_fit(emb, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(v) == 64 for _, v in cents)
+    # determinism
+    cents2 = S.kmeans_fit(emb, k=4, n_iter=2)
+    assert cents == cents2
+    # every vector assigned to its true nearest centroid
+    assigned = {r["vec_id"]: r["cid"] for r in S.ivf_assign(emb, cents).collect()}
+    for vid, v in vecs.items():
+        d = [(float(((v - np.array(c)) ** 2).sum()), cid) for cid, c in cents]
+        assert assigned[vid] == min(d)[1], vid
+
+    # full-probe IVF == brute force exactly
+    full = S.ivf_topk(emb, q, k=10, nprobe=4, centroids=cents)
+    brute = S.brute_force_topk(emb, q, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
+
+    # nprobe=2: recall@10 against brute force is high on this corpus
+    part = S.ivf_topk(emb, q, k=10, nprobe=2, centroids=cents)
+    got = {r["vec_id"] for r in part.collect()}
+    want = {r["vec_id"] for r in brute.collect()}
+    assert len(got & want) >= 7, (got, want)
