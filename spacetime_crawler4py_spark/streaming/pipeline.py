@@ -139,3 +139,105 @@ def stream_frontier_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user session windows
+    via ``applyInPandasWithState`` (the engine's example of state
+    Spark's built-ins don't express — session contents, not just
+    counts, with explicit timeout control).
+
+    Semantics match the batch twin (queries.w_sessionize): a new
+    session starts when the gap since the previous event exceeds
+    ``gap_s`` (strictly).  Sessions are emitted when CLOSED — either
+    by a later in-stream event beyond the gap, or by event-time
+    timeout once the watermark passes session_end + gap.  State per
+    user is one open (start, end, n) triple — O(users) state, bounded
+    by the watermark contract regardless of stream length.
+
+    Returns (user_id, session_start, session_end, n_events) with
+    epoch-second bounds (append mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [s],
+                    "session_end": [e],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["_ts_s"])
+        ts.sort()
+        s = e = n = None
+        if state.exists:
+            s, e, n = state.get
+        closed = []
+        for t in ts:
+            if s is None:
+                s, e, n = t, t, 1
+            elif t - e > gap_s:
+                closed.append((s, e, n))
+                s, e, n = t, t, 1
+            else:
+                e, n = t, n + 1
+        if s is not None:
+            state.update((s, e, n))
+            # timeout fires when the event-time watermark passes the
+            # gap horizon; must be strictly beyond current watermark
+            state.setTimeoutTimestamp(
+                max((e + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    ev = (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn("_ts_s", F.col("ts").cast("long"))
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -84,3 +84,70 @@ def test_stream_frontier_ingest_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert store.discovered().count() == 20
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: every emitted session
+    must byte-match a session of the batch twin (same 30-min-gap
+    semantics), and chronological chunked feeding must close most of
+    them via event-time timeout."""
+    from spacetime_crawler4py_spark.streaming.pipeline import stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two chronological chunks → watermark advances between
+    # micro-batches (maxFilesPerTrigger=1), closing earlier sessions
+    by_ts = events.withColumn(
+        "_t", F.col("ts").cast("timestamp").cast("long")
+    )
+    mid = by_ts.approxQuantile("_t", [0.6], 0.0)[0]
+    early = by_ts.where(F.col("_t") <= mid).drop("_t")
+    late = by_ts.where(F.col("_t") > mid).drop("_t")
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev" / "a"))
+    late.coalesce(1).write.mode("append").parquet(str(tmp_path / "ev" / "a"))
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ev" / "a"))
+    )
+    out = stream_sessionize(src, gap_s=1800, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sess_test").collect()
+    assert got, "no sessions closed"
+
+    # batch twin: same gap rule, with start/end/n per session
+    from pyspark.sql import Window
+
+    e = events.withColumn("_ts_s", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("_ts_s", "event_id")
+    gap = F.col("_ts_s") - F.lag("_ts_s").over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    batch = (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("_ts_s").alias("session_start"),
+            F.max("_ts_s").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    bset = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    gset = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert gset <= bset, gset - bset  # every emitted session is exact
+    # no duplicate emissions
+    assert len(gset) == len(got)
