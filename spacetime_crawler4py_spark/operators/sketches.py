@@ -1,0 +1,133 @@
+"""Deterministic distributed sketches: Count-Min and HLL-style
+distinct registers (Cormode & Muthukrishnan 2005; Flajolet et al.
+2007 — public papers).
+
+Both are built from an md5-derived 60-bit integer hash (the same
+base-hash trick as the MinHash oracle): deterministic given the
+input, reproducible bit-for-bit in DuckDB SQL — so the DRIVER GATE
+hash-verifies the sketch CONTENTS, not just an estimate's rough
+magnitude.
+
+Scale shape:
+- CMS build: one groupBy on (row, bucket) — d·w cells regardless of
+  input size; partial aggregation does the heavy lifting map-side.
+  Merging sketches from partitions/streams is the same groupBy-sum
+  (the sketch is a linear operator).
+- HLL registers: one groupBy on bucket (m cells), max-combine —
+  the classic mergeable register layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col: Column) -> Column:
+    """md5-derived 60-bit non-negative int hash (JVM, DuckDB-twin:
+    ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch of the multiset in ``col``: (row, bucket,
+    cnt) cells, row i using hash_i(x) = h60(i || ':' || x) mod w.
+
+    d·w cells total; build is one partial-agg groupBy.
+    """
+    rows = [
+        df.select(
+            F.lit(i).alias("row"),
+            F.pmod(
+                _h60(F.concat(F.lit(f"{i}:"), F.col(col))), F.lit(w)
+            ).alias("bucket"),
+        )
+        for i in range(d)
+    ]
+    from functools import reduce
+
+    cells = reduce(lambda a, b: a.unionByName(b), rows)
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """(item, est): CMS point query — min over the d cells the item
+    hashes to.  ``items`` is small (a probe list) and broadcast; the
+    sketch itself is d·w rows, also broadcastable.  est ≥ true count
+    always (one-sided error w.p. 1)."""
+    from functools import reduce
+
+    probes = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            items.select(
+                F.col(col).alias("item"),
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _h60(F.concat(F.lit(f"{i}:"), F.col(col))), F.lit(w)
+                ).alias("bucket"),
+            )
+            for i in range(d)
+        ],
+    )
+    joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy("item").agg(F.min("cnt").alias("est"))
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    b: int = 8,
+) -> DataFrame:
+    """HLL register table over distinct values of ``col``: m = 2^b
+    rows (bucket, r) where r = max over values of
+    (1 + trailing-zero count of h60(x) >> b), the rank statistic of
+    the classic HLL register (trailing instead of leading zeros —
+    same geometric distribution, simpler exact SQL via x & -x).
+
+    Mergeable by groupBy(bucket).max — partitions, streams, shards.
+    """
+    m = 1 << b
+    h = _h60(F.col(col))
+    # integer shift, NOT division: h/m would round-trip through
+    # double and corrupt bits past 2^53
+    q = F.shiftright(h, b)
+    low = q.bitwiseAND(-q)
+    rank = F.when(q == 0, F.lit(61 - b)).otherwise(
+        (F.log2(low.cast("double")) + 1).cast("int")
+    )
+    return (
+        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> float:
+    """Driver-side harmonic-mean estimate from the (tiny) register
+    table — alpha_m * m^2 / sum(2^-r), with the small-range
+    linear-counting correction.  m scalars cross the driver."""
+    import math
+
+    m = 1 << b
+    rows = {r["bucket"]: r["r"] for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -rows.get(i, 0) for i in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for i in range(m) if i not in rows)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -702,6 +702,89 @@ def dedup_minhash(spark, sf_dir):
     return minhash_dedup(d, threshold=0.5).select("doc_id")
 
 
+@_q(
+    "sk_cms_word_counts",
+    f"""
+    WITH ws AS (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ), cells AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM (
+        SELECT i.i AS row,
+               ('0x' || substr(md5(i.i::VARCHAR || ':' || word), 1, 15))::BIGINT % 256 AS bucket
+        FROM ws, (SELECT unnest(range(0, 4)) AS i) i)
+      GROUP BY row, bucket
+    ), top20 AS (
+      SELECT word FROM ws GROUP BY word
+      ORDER BY COUNT(*) DESC, word LIMIT 20
+    ), probes AS (
+      SELECT t.word AS item, i.i AS row,
+             ('0x' || substr(md5(i.i::VARCHAR || ':' || t.word), 1, 15))::BIGINT % 256 AS bucket
+      FROM top20 t, (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT item, MIN(COALESCE(c.cnt, 0)) AS est
+    FROM probes p LEFT JOIN cells c USING (row, bucket)
+    GROUP BY item
+    """,
+)
+def sk_cms(spark, sf_dir):
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) built over the
+    document word multiset, point-queried for the exact top-20
+    words.  The md5-derived hash rows make the sketch CELLS
+    bit-reproducible in DuckDB — the gate verifies the whole sketch
+    pipeline (build + probe), not an error bound."""
+    from spacetime_crawler4py_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    cms = cms_build(words, "word", w=256, d=4)
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+        .select("word")
+    )
+    return cms_estimate(cms, top, "word", w=256, d=4)
+
+
+@_q(
+    "sk_hll_registers",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT h % 256 AS bucket,
+           MAX(CASE WHEN (h // 256) = 0 THEN 53
+                    ELSE CAST(log2((h // 256) & -(h // 256)) AS INT) + 1
+               END) AS r
+    FROM h GROUP BY h % 256
+    """,
+)
+def sk_hll(spark, sf_dir):
+    """HLL register table (Flajolet 2007 layout, trailing-zero rank)
+    over distinct event users — m=256 mergeable registers, max-
+    combined in one groupBy.  Register contents are hash-verified
+    against the DuckDB twin; the cardinality estimate is a driver-
+    side formula over these m scalars (operators/sketches.py
+    hll_estimate)."""
+    from spacetime_crawler4py_spark.operators.sketches import hll_registers
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("u"))
+    )
+    return hll_registers(e, "u", b=8)
+
+
 @_q("ann_ivf_top10", None)  # oracle attached in _finalize (unrolled Lloyd)
 def ann_ivf(spark, sf_dir):
     """IVF ANN (operators/similarity.py): deterministic k-means

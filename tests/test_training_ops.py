@@ -317,3 +317,43 @@ def test_ivf_ann(spark):
     got = {r["vec_id"] for r in part.collect()}
     want = {r["vec_id"] for r in brute.collect()}
     assert len(got & want) >= 7, (got, want)
+
+
+def test_sketches(spark):
+    """CMS: est >= true always, est == true for heavy hitters at
+    this width; HLL: estimate within the standard error band."""
+    from spacetime_crawler4py_spark.operators import sketches as K
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    true = {
+        r["word"]: r["n"]
+        for r in words.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+    cms = K.cms_build(words, "word", w=256, d=4)
+    assert cms.count() <= 4 * 256
+    items = spark.createDataFrame(
+        [(w,) for w in true] + [("never-seen-word",)], ["word"]
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in K.cms_estimate(cms, items, "word", w=256, d=4).collect()
+    }
+    assert all(est[w] >= n for w, n in true.items())  # one-sided error
+    # 31 distinct words over 1024 cells: collisions unlikely → exact
+    n_exact = sum(1 for w, n in true.items() if est[w] == n)
+    assert n_exact >= len(true) - 2
+    assert est["never-seen-word"] >= 0
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("u")
+    ).where(F.col("u").isNotNull())
+    regs = K.hll_registers(e, "u", b=8)
+    n_true = e.distinct().count()
+    n_est = K.hll_estimate(regs, b=8)
+    # standard error 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert abs(n_est - n_true) / n_true < 0.26, (n_est, n_true)
