@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_kept",
     "ann_cosine_top20",
+    "ann_ivf_top10",
+    "sk_cms_word_counts",
 ]
 
 BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
@@ -128,6 +130,21 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM codegen + Python worker pool before timing
+    # (CLAUDE.md: cold first query otherwise pays ~4s of JIT/session
+    # setup that no steady-state deployment would see)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
+    from spacetime_crawler4py_spark.functions.tokenizers import (
+        pdf_tokenize_alnum,
+    )
+
+    spark.createDataFrame([("warm up the arrow workers",)], ["text"]).select(
+        pdf_tokenize_alnum(F.col("text"))
+    ).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

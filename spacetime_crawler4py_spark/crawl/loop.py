@@ -119,6 +119,13 @@ class CrawlEngine:
         # the discovered log per batch (initialized lazily from the
         # store on first use, then maintained incrementally)
         self._max_seq: int | None = None
+        # driver-tracked completed-row count: (max_seq+1 − this) is
+        # the scheduler's pending-size estimate for picking the
+        # adaptive fetch_order path.  Purely a performance heuristic:
+        # an under-estimate (possible after expiry re-completions)
+        # only means a >threshold batch takes the one-task sort —
+        # slower, never incorrect.
+        self._n_completed: int | None = None
 
         pages = spark.read.parquet(pages_path)
         if status_path and os.path.exists(status_path):
@@ -204,12 +211,17 @@ class CrawlEngine:
                 .withColumn("fetch_order", F.lit(0))
             )
         else:
+            if self._max_seq is None:
+                self._max_seq = self.store.max_seq()
+            if self._n_completed is None:
+                self._n_completed = self.store.completed().count()
             sched = next_batch(
                 pending,
                 window_ms=self.window_ms,
                 delay_ms=self.delay_ms,
                 robots=self.robots,
                 order=self.order,
+                approx_rows=max(self._max_seq + 1 - self._n_completed, 0),
             )
         batch = sched.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"
@@ -370,39 +382,48 @@ class CrawlEngine:
         else:
             new = candidates.join(seen, "url_hash", "left_anti")
 
-        # ---- seq assignment: base + rank in (fetch_order, pos) order,
-        # assigned DISTRIBUTED (range-partitioned rank + partition
-        # offsets, operators/ids.py) — no single-partition exchange
-        # even when a wide batch discovers millions of links.
+        # ---- n_new + per-host lineage FIRST, from ONE host-level
+        # aggregation — bounded by #hosts in the batch, NOT by #new
+        # URLs; the per-URL delta itself never reaches the driver.
+        # Knowing the exact n_new lets the seq assigner below pick
+        # its adaptive path.
+        new = new.cache()
+        new_by_host = {
+            (r["host"] or ""): r["n"]
+            for r in new.groupBy(col_netloc(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_new = sum(new_by_host.values())
+
+        # ---- seq assignment: base + rank in (fetch_order, pos)
+        # order via operators/ids.py — distributed range-partitioned
+        # rank when the delta is wide, one-task window when n_new is
+        # known-small (the range-sampling + size-pass fixed costs
+        # dominate tiny batches).
         if self._max_seq is None:
             self._max_seq = self.store.max_seq()
         base = self._max_seq
-        indexed, _seq_interm = with_contiguous_index(
-            new, ["fetch_order", "pos"], "seq", start=base + 1
-        )
-        new_rows = indexed.select(
-            "url_hash",
-            "url",
-            col_netloc(F.col("url")).alias("host"),
-            "seq",
-            F.lit(None).cast("int").alias("depth"),
-            F.current_timestamp().alias("discovered_ts"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-        )
-        # n_new + per-host lineage from ONE host-level aggregation —
-        # bounded by #hosts in the batch (the partition key), NOT by
-        # #new URLs; the per-URL delta itself never reaches the driver.
-        new_by_host = {
-            (r["host"] or ""): r["n"]
-            for r in new_rows.groupBy("host").agg(F.count("*").alias("n")).collect()
-        }
-        n_new = sum(new_by_host.values())
         if n_new:
+            indexed, _seq_interm = with_contiguous_index(
+                new, ["fetch_order", "pos"], "seq", start=base + 1,
+                approx_rows=n_new,
+            )
+            new_rows = indexed.select(
+                "url_hash",
+                "url",
+                col_netloc(F.col("url")).alias("host"),
+                "seq",
+                F.lit(None).cast("int").alias("depth"),
+                F.current_timestamp().alias("discovered_ts"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
             self._max_seq = base + n_new
             self.store.append_discovered(new_rows)
             if self.use_bloom and self._bloom is not None:
                 self._sync_seen_filter(new_rows)
-        _seq_interm.unpersist()
+            _seq_interm.unpersist()
+        new.unpersist()
 
         # ---- completions (T5: idempotent flips) — driver-side append
         self.store.append_rows(
@@ -410,6 +431,8 @@ class CrawlEngine:
             batch_id,
             {"url_hash": [r["url_hash"] for r in batch_rows]},
         )
+        if self._n_completed is not None:
+            self._n_completed += n_batch
 
         t_links = time.time()
         wall_ms = int((t_links - t0) * 1000)

@@ -44,6 +44,7 @@ def next_batch(
     n_salts: int = 16,
     robots: DataFrame | None = None,
     order: str = "lifo",  # "lifo" | "fifo_per_host"
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Select the next politeness-legal micro-batch.
 
@@ -98,13 +99,17 @@ def next_batch(
 
     # Stage 3 (batch order contract): lifo → global seq DESC;
     # fifo_per_host → priority queue by per-host head age.  The dense
-    # 0-based fetch_order is assigned DISTRIBUTED (range-partitioned
-    # rank + partition offsets, operators/ids.py) — a bare
-    # Window.orderBy here would funnel the whole batch through one
-    # task, millions of rows at 10^5-host scale.
+    # 0-based fetch_order is assigned via operators/ids.py — a bare
+    # Window.orderBy would funnel the whole batch through one task,
+    # millions of rows at 10^5-host scale, so the distributed shape
+    # is the default; ``approx_rows`` (an upper bound the crawl loop
+    # derives from its discovered/completed counters) lets small
+    # frontiers skip the range-sampling fixed costs.
     from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
 
-    batch, _interm = with_contiguous_index(capped, [seq_order], "fetch_order", 0)
+    batch, _interm = with_contiguous_index(
+        capped, [seq_order], "fetch_order", 0, approx_rows=approx_rows
+    )
     if max_urls is not None:
         batch = batch.where(F.col("fetch_order") < max_urls)
     # hand the cached intermediate to the caller for unpersist after

@@ -30,11 +30,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+SMALL_THRESHOLD = 100_000
+
+
 def with_contiguous_index(
     df: DataFrame,
     order_cols: list[Column | str],
     out_col: str,
     start: int = 0,
+    approx_rows: int | None = None,
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> tuple[DataFrame, DataFrame]:
     """Add ``out_col`` = dense 0-based global index (offset by
     ``start``) in ``order_cols`` order, without a single-partition
@@ -46,10 +51,29 @@ def with_contiguous_index(
     ``F.col("c").desc()`` and flow through both the range partitioner
     and the per-partition window.
 
+    **Adaptive cutover** (the AQE principle, applied manually): when
+    the caller KNOWS an upper bound on the row count
+    (``approx_rows``) and it is under ``small_threshold``, a plain
+    global window is used instead — one task sorting ≤1e5 rows costs
+    less than the range-sampling + size-pass jobs of the distributed
+    shape (measured: those fixed costs regressed the 6k-page crawl
+    bench by ~40% when applied unconditionally).  With no bound
+    given, the distributed shape is the default: never funnel
+    UNKNOWN cardinality through one task.
+
     Returns ``(result, intermediate)``; the caller unpersists
-    ``intermediate`` once the result is materialized.
+    ``intermediate`` once the result is materialized (a no-op for
+    the small path).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if approx_rows is not None and approx_rows <= small_threshold:
+        out = df.withColumn(
+            out_col,
+            (
+                F.row_number().over(Window.orderBy(*cols)) - 1 + F.lit(start)
+            ).cast("long"),
+        )
+        return out, out
     d = (
         df.repartitionByRange(*cols)
         .withColumn("_pid", F.spark_partition_id())

@@ -154,3 +154,28 @@ def test_scheduler_batch_has_no_single_partition_exchange(spark):
     seqs = [r["seq"] for r in rows]
     assert seqs == sorted(seqs, reverse=True)
     batch._sg_cleanup.unpersist()
+
+
+def test_contiguous_index_adaptive_small_path(spark):
+    """With a known-small approx_rows bound the assigner may use one
+    task (cheaper than range sampling below the threshold) — indexes
+    must be IDENTICAL to the distributed shape; without a bound it
+    must stay distributed."""
+    from spacetime_crawler4py_spark.operators.ids import with_contiguous_index
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 37).alias("a"), F.col("id").alias("b")
+    )
+    small, _ = with_contiguous_index(df, ["a", "b"], "i", 7, approx_rows=5_000)
+    wide, interm = with_contiguous_index(df, ["a", "b"], "i", 7)
+    assert "rangepartitioning" in _plan(wide).lower()
+    s = {(r["a"], r["b"]): r["i"] for r in small.collect()}
+    w = {(r["a"], r["b"]): r["i"] for r in wide.collect()}
+    assert s == w
+    interm.unpersist()
+    # a bound ABOVE the threshold must still go distributed
+    big, interm2 = with_contiguous_index(
+        df, ["a", "b"], "i", 7, approx_rows=200_000
+    )
+    assert "SinglePartition" not in _plan(big)
+    interm2.unpersist()
