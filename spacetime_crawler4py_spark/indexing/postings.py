@@ -192,3 +192,51 @@ def tfidf(postings: DataFrame, doc_count: int, df_mode: str = "docs") -> DataFra
     return tf.join(idf, "token").select(
         "token", "doc_id", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
+
+
+def bm25(
+    postings: DataFrame,
+    doc_count: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Robertson-Spärck Jones; engine extension beyond
+    the reference's tf-idf): per (token, doc)
+
+        idf = ln((N - df + 0.5) / (df + 0.5) + 1)
+        score = idf * n*(k1+1) / (n + k1*(1 - b + b*len_d/avgdl))
+
+    Same shuffle shape as tfidf (two aggs + one equi-join on token)
+    plus one doc-length agg joined broadcast-style; plugs into
+    search() anywhere tfidf does (rename score col to 'tfidf')."""
+    n_td = postings.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    dlen = postings.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    avgdl = float(
+        dlen.agg(F.avg("len_d").alias("a")).collect()[0]["a"] or 1.0
+    )
+    df = postings.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df.withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(doc_count)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+    )
+    return (
+        n_td.join(dlen, "doc_id")
+        .join(idf, "token")
+        .select(
+            "token",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("n") * (k1 + 1.0))
+                / (
+                    F.col("n")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("len_d") / F.lit(avgdl))
+                )
+            ).alias("bm25"),
+        )
+    )

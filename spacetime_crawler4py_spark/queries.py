@@ -509,6 +509,52 @@ def f12_stopwords(spark, sf_dir):
 
 
 @_q(
+    "a6a8_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ), n_td AS (
+      SELECT word, doc_id, COUNT(*) AS n FROM toks GROUP BY word, doc_id
+    ), dlen AS (
+      SELECT doc_id, COUNT(*) AS len_d FROM toks GROUP BY doc_id
+    ), idf AS (
+      SELECT word,
+             ln(((SELECT COUNT(*) FROM documents) - COUNT(DISTINCT doc_id) + 0.5)
+                / (COUNT(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+      FROM toks GROUP BY word
+    )
+    SELECT n_td.word AS token, n_td.doc_id,
+           ROUND(idf.idf * (n_td.n * 2.2)
+                 / (n_td.n + 1.2 * (0.25 + 0.75 * dlen.len_d
+                    / (SELECT AVG(len_d) FROM dlen))), 4) AS bm25
+    FROM n_td JOIN dlen USING (doc_id) JOIN idf USING (word)
+    WHERE idf.idf * (n_td.n * 2.2)
+          / (n_td.n + 1.2 * (0.25 + 0.75 * dlen.len_d
+             / (SELECT AVG(len_d) FROM dlen))) > 2.0
+    """,
+)
+def a6a8_bm25(spark, sf_dir):
+    """Okapi BM25 ranking over the same whitespace-token postings as
+    a6a8_tfidf (k1=1.2, b=0.75) — indexing/postings.py bm25().
+    Engine extension beyond the reference's tf-idf; same shuffle
+    shape plus a doc-length agg."""
+    from spacetime_crawler4py_spark.indexing.postings import bm25
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    posts = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("token"),
+    )
+    scored = bm25(posts, doc_count=n_docs, k1=1.2, b=0.75)
+    return scored.where(F.col("bm25") > 2.0).select(
+        "token", "doc_id", F.round("bm25", 4).alias("bm25")
+    )
+
+
+@_q(
     "a5_tokenizer2_verbatim",
     """
     WITH toks AS (

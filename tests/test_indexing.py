@@ -106,3 +106,32 @@ def test_search_and_or(spark, docs_df):
     # fuzzy: one edit away ('machin' stem typo'd)
     res_fuzzy = search(scores, docs, "machne", fuzzy=True, mode="or").collect()
     assert {r["doc_id"] for r in res_fuzzy} == {0, 4}
+
+
+def test_bm25_formula(spark):
+    """bm25() vs a hand-rolled numpy computation on a tiny corpus."""
+    import math
+
+    from spacetime_crawler4py_spark.indexing.postings import bm25
+
+    docs = [
+        (0, ["a", "a", "b"]),
+        (1, ["a", "c", "c", "c"]),
+        (2, ["b", "b", "d"]),
+    ]
+    posts = spark.createDataFrame(
+        [(d, t) for d, toks in docs for t in toks], ["doc_id", "token"]
+    )
+    got = {
+        (r["token"], r["doc_id"]): r["bm25"]
+        for r in bm25(posts, doc_count=3, k1=1.2, b=0.75).collect()
+    }
+    lens = {d: len(t) for d, t in docs}
+    avgdl = sum(lens.values()) / 3
+    dfs = {"a": 2, "b": 2, "c": 1, "d": 1}
+    for (tok, d), score in got.items():
+        n = docs[d][1].count(tok)
+        idf = math.log((3 - dfs[tok] + 0.5) / (dfs[tok] + 0.5) + 1.0)
+        exp = idf * n * 2.2 / (n + 1.2 * (0.25 + 0.75 * lens[d] / avgdl))
+        assert abs(score - exp) < 1e-9, (tok, d)
+    assert len(got) == 6  # one row per (token, doc) pair
