@@ -140,3 +140,55 @@ def _anchor(pattern: str) -> str:
 @pandas_udf(BooleanType())
 def pdf_is_valid(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: py_is_valid(u))
+
+
+# ------------------------------------------- path-repetition traps
+
+
+def col_trap_path_repetition(
+    url: Column, max_repeat: int = 2, max_depth: int = 20
+) -> Column:
+    """Generic crawler-trap detector via PATH-REPETITION heuristics
+    (north_star wording; beyond the reference's fixed keyword
+    regex).  A URL is trap-suspect when its path either
+
+    - repeats any single segment more than ``max_repeat`` times
+      (``/a/b/a/c/a/`` — calendar/session loops), or
+    - exceeds ``max_depth`` segments (runaway recursive links).
+
+    Pure JVM: split + filter/size + a distinct-count via
+    array_distinct — no UDF, usable as a scan-pushable filter in
+    the link pipeline.
+    """
+    path = F.lower(col_path(url))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n = F.size(segs)
+    n_distinct = F.size(F.array_distinct(segs))
+    # max segment multiplicity > max_repeat  ⇔  some segment occurs
+    # ≥ max_repeat+1 times; detect via aggregate over distinct segs
+    max_mult = F.aggregate(
+        F.array_distinct(segs),
+        F.lit(0),
+        lambda acc, s: F.greatest(
+            acc, F.size(F.filter(segs, lambda x: x == s))
+        ),
+    )
+    return (n > max_depth) | (
+        (n_distinct < n) & (max_mult > max_repeat)
+    )
+
+
+def py_trap_path_repetition(
+    url: str | None, max_repeat: int = 2, max_depth: int = 20
+) -> bool:
+    """Pure-Python oracle of col_trap_path_repetition."""
+    if url is None:
+        return False
+    from urllib.parse import urlparse
+
+    segs = [s for s in urlparse(url).path.lower().split("/") if s]
+    if len(segs) > max_depth:
+        return True
+    from collections import Counter
+
+    return bool(segs) and max(Counter(segs).values()) > max_repeat

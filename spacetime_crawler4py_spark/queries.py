@@ -449,6 +449,72 @@ def f2f4_valid(spark, sf_dir):
     return u.select("doc_id", "url", col_is_valid(F.col("url")).alias("valid"))
 
 
+@_q(
+    "f3_trap_path_repetition",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '/a/b/a/b/a/b'
+          WHEN 1 THEN '/' || array_to_string(list_transform(range(0, 21), i -> 'p' || i), '/')
+          WHEN 2 THEN '/x/y/z'
+          WHEN 3 THEN '/a/a'
+          ELSE '/cal/2024/cal/2024/cal'
+        END AS path
+      FROM documents
+    ), segs_t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(path), '/'), s -> s <> '') AS segs
+      FROM u
+    )
+    SELECT doc_id,
+           (len(segs) > 20 OR (
+             len(list_distinct(segs)) < len(segs)
+             AND list_max(list_transform(list_distinct(segs),
+                   s -> len(list_filter(segs, x -> x = s)))) > 2
+           )) AS trap
+    FROM segs_t
+    """,
+)
+def f3_trap(spark, sf_dir):
+    """Path-repetition trap heuristic (north_star wording — the
+    GENERIC detector beyond the reference's fixed keyword regex):
+    segment multiplicity > 2 or depth > 20 flags the URL.  Trap
+    shapes are synthesized per doc_id identically on both engines;
+    Spark side runs the real `col_trap_path_repetition` Column on
+    full URLs."""
+    from spacetime_crawler4py_spark.functions.validity import (
+        col_trap_path_repetition,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/a/b/a/b/a/b"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("/"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(20)),
+                        lambda i: F.concat(F.lit("p"), i.cast("string")),
+                    ),
+                    "/",
+                ),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("/x/y/z"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/a/a"))
+        .otherwise(F.lit("/cal/2024/cal/2024/cal"))
+    )
+    u = d.select(
+        "doc_id", F.concat(F.lit("https://www.ics.uci.edu"), path).alias("url")
+    )
+    return u.select(
+        "doc_id", col_trap_path_repetition(F.col("url")).alias("trap")
+    )
+
+
 # =====================================================================
 # text: word frequency, stopwords, tf-idf, quality, lang, counts
 # (A3, A5-A8, F12 + training-data text analysis)

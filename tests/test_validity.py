@@ -68,3 +68,36 @@ def test_pandas_udf_parity(spark):
     rows = df.select("url", V.pdf_is_valid(F.col("url")).alias("v")).collect()
     for r in rows:
         assert r["v"] == V.py_is_valid(r["url"])
+
+
+def test_trap_path_repetition_parity(spark):
+    """col_trap_path_repetition == the pure-Python oracle on the
+    adversarial corpus + hand-built trap shapes."""
+    from spacetime_crawler4py_spark.functions.validity import (
+        col_trap_path_repetition,
+        py_trap_path_repetition,
+    )
+    from tests.conftest import URL_CORPUS
+
+    extra = [
+        "https://h.ics.uci.edu/a/b/a/b/a/b",          # seg x3
+        "https://h.ics.uci.edu/a/a",                  # x2 — not a trap
+        "https://h.ics.uci.edu/" + "/".join(f"p{i}" for i in range(21)),
+        "https://h.ics.uci.edu/" + "/".join(f"p{i}" for i in range(20)),
+        "https://h.ics.uci.edu/cal/2024/cal/2024/cal",
+        "https://h.ics.uci.edu/",                     # empty path
+        "https://h.ics.uci.edu/A/a/a",                # case-folded x3
+    ]
+    urls = [u for u in URL_CORPUS if u is not None] + extra
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", col_trap_path_repetition(F.col("url")).alias("t")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == py_trap_path_repetition(u), u
+    assert got["https://h.ics.uci.edu/a/b/a/b/a/b"] is True
+    assert got["https://h.ics.uci.edu/a/a"] is False
+    assert got["https://h.ics.uci.edu/A/a/a"] is True
