@@ -135,3 +135,48 @@ def test_bm25_formula(spark):
         exp = idf * n * 2.2 / (n + 1.2 * (0.25 + 0.75 * lens[d] / avgdl))
         assert abs(score - exp) < 1e-9, (tok, d)
     assert len(got) == 6  # one row per (token, doc) pair
+
+
+def test_incremental_index_equals_full_rebuild(spark, tmp_path):
+    """Append three doc batches incrementally; derived tf-idf must
+    equal a from-scratch build over the union, and a crashed append
+    (data without marker) must stay invisible."""
+    import os
+
+    from spacetime_crawler4py_spark.indexing import incremental as I
+    from spacetime_crawler4py_spark.indexing.postings import build_postings, tfidf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    cuts = [(0, 20), (20, 35), (35, 10**9)]
+    for bid, (lo, hi) in enumerate(cuts):
+        n = I.append_batch(
+            spark, idx, docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+        assert n > 0
+    assert sum(I.committed_batches(idx).values()) == docs.count()
+
+    inc = {
+        (r["token"], r["doc_id"]): round(r["tfidf"], 9)
+        for r in I.current_scores(spark, idx).collect()
+    }
+    full = {
+        (r["token"], r["doc_id"]): round(r["tfidf"], 9)
+        for r in tfidf(build_postings(docs), doc_count=docs.count()).collect()
+    }
+    assert inc == full
+
+    # crash: postings written under batch 99 with NO marker → invisible
+    build_postings(docs.limit(3)).withColumn(
+        "batch_id", F.lit(99).cast("long")
+    ).write.mode("append").partitionBy("batch_id").parquet(
+        os.path.join(idx, "postings")
+    )
+    assert 99 not in I.committed_batches(idx)
+    after = {
+        (r["token"], r["doc_id"]): round(r["tfidf"], 9)
+        for r in I.current_scores(spark, idx).collect()
+    }
+    assert after == full
