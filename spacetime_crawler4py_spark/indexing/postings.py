@@ -75,7 +75,11 @@ def simhash_dedup(
     ⇒ ≥1 equal band), equi-join on (band_idx, band_val) — bounded
     key space, no O(n²) — then exact popcount filter.
     """
-    sims = docs.withColumn("_sim", pdf_simhash64(F.col(text_col)))
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    sims = ensure_min_partitions(docs).withColumn(
+        "_sim", pdf_simhash64(F.col(text_col))
+    )
     bands = sims.select(
         F.col(id_col).alias("_id"),
         "_sim",
@@ -114,7 +118,9 @@ def build_postings(
     indexer.py:212 — the parent HTML tag) is null for plain-text
     docs; the pages-table path supplies it via parse sections.
     """
-    toks = docs.select(
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    toks = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(pdf_tokenize_indexer(F.col(text_col))).alias("t"),
     ).select("doc_id", F.col("t.token").alias("raw_token"), F.col("t.position").alias("position"))

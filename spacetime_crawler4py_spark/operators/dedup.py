@@ -89,9 +89,12 @@ def ngram_jaccard_pairs(
     docs (ubiquitous shingles can't push a pair over a high
     threshold alone but quadratically blow up the join).
     """
-    sh = df.select(
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    sh = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    )
+    ).cache()  # referenced 3x below (sizes, df-filter, join) — shingle
+    # generation is the CPU-heavy step and must not re-run per branch
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     max_df = 1000
     rare = sh.join(
@@ -178,6 +181,9 @@ def minhash_signatures(
     k longs/doc.  ``base_hash`` picks the shingle hash (see
     shingle_base_hash).
     """
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     coeffs = _perm_coeffs(k, seed)
     sh = df.select(
         F.col(id_col).alias("id"),

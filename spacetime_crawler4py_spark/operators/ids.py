@@ -102,3 +102,22 @@ def with_contiguous_index(
         (mapping[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
     ).drop("_pid")
     return out, d
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input before CPU-heavy per-row work.
+
+    Small-but-dense inputs (one snappy parquet row group of text)
+    arrive as ONE partition — a tokenize/shingle/hash pass then runs
+    on one core no matter how many the session has.  If the input
+    has fewer partitions than the session's parallelism, add a
+    round-robin repartition (the raw rows are small; the expansion
+    happens AFTER, in parallel).  Inputs that are already wide — any
+    real cluster-scale table — pass through untouched, so no extra
+    exchange appears at 100 TB.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -946,7 +946,9 @@ def dedup_simhash(spark, sf_dir):
         pdf_simhash64,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     sims = d.select("doc_id", pdf_simhash64(F.col("text")).alias("sim"))
     bands = sims.select(
         "doc_id",
