@@ -123,3 +123,84 @@ def test_index_text_sinks(spark, tmp_path):
     write_tfidf_file(P.tfidf(posts, doc_count=2), str(tmp_path))
     t = (tmp_path / "tfidfFile.txt").read_text()
     assert "learn " in t
+
+
+ROBOTS_FIXTURES = {
+    "a.ics.uci.edu": (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /tmp\n"
+        "Crawl-delay: 2\n"
+    ),
+    "b.ics.uci.edu": (
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: spacetime-crawler\n"
+        "Disallow: /secret/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everything/\n"
+    ),
+    "c.ics.uci.edu": "User-agent: *\nDisallow:\n",  # allow-all
+    "d.ics.uci.edu": "",                            # empty file
+    "e.ics.uci.edu": "User-agent: *\nDisallow: /\n",
+}
+PATHS = ["/", "/private/x", "/tmp2", "/tmp/x", "/secret/a", "/everything/b", "/ok"]
+
+
+def test_parse_robots_vs_stdlib_robotparser():
+    """py_parse_robots prefix decisions == urllib.robotparser
+    can_fetch on Disallow-only fixtures (the stdlib parser is the
+    independent oracle), incl. agent-group selection."""
+    import urllib.robotparser
+
+    from spacetime_crawler4py_spark.frontier.robots import py_parse_robots
+
+    for host, txt in ROBOTS_FIXTURES.items():
+        prefixes, delay = py_parse_robots(txt, "spacetime-crawler")
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(txt.splitlines())
+        for p in PATHS:
+            ours = not any(p.startswith(pre) for pre in prefixes)
+            theirs = rp.can_fetch("spacetime-crawler", f"https://{host}{p}")
+            assert ours == theirs, (host, p, prefixes)
+    # crawl-delay surfaced in ms
+    assert py_parse_robots(ROBOTS_FIXTURES["a.ics.uci.edu"])[1] == 2000
+    # specific group beats * (googlebot sees its own total ban)
+    g, _ = py_parse_robots(ROBOTS_FIXTURES["b.ics.uci.edu"], "googlebot")
+    assert g == ["/"]
+
+
+def test_parse_robots_table_and_enforcement(spark):
+    """raw (host, robots_txt) → ROBOTS_SCHEMA table → filter_allowed
+    end-to-end, distributed."""
+    from spacetime_crawler4py_spark.frontier.robots import (
+        filter_allowed,
+        parse_robots_table,
+    )
+
+    raw = spark.createDataFrame(
+        list(ROBOTS_FIXTURES.items()), ["host", "robots_txt"]
+    )
+    table = parse_robots_table(raw, "spacetime-crawler")
+    got = {r["host"]: r for r in table.collect()}
+    assert got["a.ics.uci.edu"]["disallow_prefixes"] == ["/private/", "/tmp"]
+    assert got["a.ics.uci.edu"]["crawl_delay_ms"] == 2000
+    assert got["b.ics.uci.edu"]["disallow_prefixes"] == ["/secret/"]
+    assert got["c.ics.uci.edu"]["disallow_prefixes"] == []
+
+    urls = spark.createDataFrame(
+        [(f"https://{h}{p}",) for h in ROBOTS_FIXTURES for p in PATHS],
+        ["url"],
+    )
+    kept = {r["url"] for r in filter_allowed(urls, table).collect()}
+    assert "https://a.ics.uci.edu/private/x" not in kept
+    assert "https://a.ics.uci.edu/tmp/x" not in kept
+    assert "https://a.ics.uci.edu/tmp2" not in kept  # prefix, not dir
+    assert "https://a.ics.uci.edu/ok" in kept
+    assert "https://b.ics.uci.edu/secret/a" not in kept
+    assert "https://b.ics.uci.edu/everything/b" in kept  # our group won
+    assert all(f"https://c.ics.uci.edu{p}" in kept for p in PATHS)
+    assert all(f"https://e.ics.uci.edu{p}" not in kept for p in PATHS)
