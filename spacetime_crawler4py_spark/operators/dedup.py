@@ -201,16 +201,9 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    sigs: DataFrame, bands: int = 16, rows: int = 4, threshold: float = 0.7
-) -> DataFrame:
-    """(id_a, id_b, est_jaccard): LSH band join + signature check.
-
-    est_jaccard = fraction of matching minhash components (unbiased
-    Jaccard estimator); band key is a hash of each ``rows``-slice of
-    the signature, so the self-join shuffles a bounded key.
-    """
-    banded = sigs.select(
+def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, sig, band, bkey): one row per LSH band per signature."""
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -227,6 +220,52 @@ def minhash_lsh_pairs(
             ])
         ).alias("b"),
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+
+def minhash_cross_pairs(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(id_a ∈ sigs_a, id_b ∈ sigs_b, est_jaccard) — the TWO-TABLE
+    banded join (streaming/incremental dedup: history vs new batch).
+    Same estimator as minhash_lsh_pairs; no id ordering constraint
+    across the two sides."""
+    a = _banded(sigs_a, bands, rows).select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = _banded(sigs_b, bands, rows).select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard): LSH band join + signature check.
+
+    est_jaccard = fraction of matching minhash components (unbiased
+    Jaccard estimator); band key is a hash of each ``rows``-slice of
+    the signature, so the self-join shuffles a bounded key.
+    """
+    banded = _banded(sigs, bands, rows)
 
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
@@ -347,6 +386,7 @@ def dedup_representatives(
     pairs: DataFrame,
     id_col: str = "doc_id",
     mode: str = "min_edge",
+    small_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Reduce near-dup PAIRS (id_a, id_b edges) to the kept rows of
     ``df`` under an explicit, chosen semantics (VERDICT r1 #10: the
@@ -384,6 +424,69 @@ def dedup_representatives(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
         return df.join(drop, id_col, "left_anti")
+
+    if mode not in ("cc_min", "arrival"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # Adaptive cutover (same principle as operators/ids.py): the
+    # EDGE LIST is derived data, usually orders of magnitude smaller
+    # than the corpus.  Under the threshold, collect the edges and
+    # resolve clusters driver-side (exact union-find / arrival sim —
+    # one job + one broadcast join, instead of the O(log^2) CC
+    # iteration whose per-round fixed costs dominate small graphs).
+    # Above it, the distributed large-star/small-star path runs.
+    edge_rows = None
+    if (
+        small_edges_threshold > 0
+        and pairs.select("id_a", "id_b").limit(small_edges_threshold + 1).count()
+        <= small_edges_threshold
+    ):
+        edge_rows = pairs.select("id_a", "id_b").collect()
+    if edge_rows is not None:
+        nodes = sorted({r["id_a"] for r in edge_rows} | {r["id_b"] for r in edge_rows})
+        if mode == "cc_min":
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in edge_rows:
+                ra, rb = find(r["id_a"]), find(r["id_b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comp_of = {n: find(n) for n in nodes}
+            cmin: dict = {}
+            for n, c in comp_of.items():
+                cmin[c] = min(cmin.get(c, n), n)
+            keep_rows = [(n, cmin[comp_of[n]]) for n in nodes if n == cmin[comp_of[n]]]
+            keep_df = df.sparkSession.createDataFrame(
+                keep_rows or [], f"{id_col} long, component long"
+            )
+            members = df.sparkSession.createDataFrame(
+                [(n,) for n in nodes] or [], f"{id_col} long"
+            )
+            non_members = df.join(
+                F.broadcast(members), id_col, "left_anti"
+            ).withColumn("component", F.col(id_col))
+            return df.join(F.broadcast(keep_df), id_col, "inner").unionByName(
+                non_members
+            )
+        # arrival: id-order incremental sim over the edge list
+        nbr = {n: set() for n in nodes}
+        for r in edge_rows:
+            nbr[r["id_a"]].add(r["id_b"])
+            nbr[r["id_b"]].add(r["id_a"])
+        kept_set: set = set()
+        for n in nodes:
+            if not (nbr[n] & kept_set):
+                kept_set.add(n)
+        dropped = df.sparkSession.createDataFrame(
+            [(n,) for n in nodes if n not in kept_set] or [], f"{id_col} long"
+        )
+        return df.join(F.broadcast(dropped), id_col, "left_anti")
 
     from spacetime_crawler4py_spark.operators.graph import connected_components
 

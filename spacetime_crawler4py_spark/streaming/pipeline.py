@@ -241,3 +241,99 @@ def stream_sessionize(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_dedup_ingest(
+    spark,
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    bands: int = 32,
+    rows: int = 2,
+):
+    """Streaming near-dup dedup: each arriving document batch is
+    deduplicated WITHIN itself (arrival semantics — the reference's
+    incremental-index rule) and AGAINST all previously-kept docs
+    (banded minhash join vs the signature store), then kept docs +
+    signatures append with a marker-last commit.
+
+    Exactly-once: a replayed foreachBatch id short-circuits on its
+    marker.  State is the kept-signature table — k longs per kept
+    doc, partitioned by batch; the cross join shuffles band keys,
+    never text.  End-to-end this equals batch
+    ``dedup_representatives(mode='arrival')`` over the concatenated
+    stream when batches arrive in id order (pinned by
+    tests/test_streaming.py::test_stream_dedup_matches_arrival).
+    """
+    import json
+    import os
+
+    from spacetime_crawler4py_spark.operators.dedup import (
+        dedup_representatives,
+        minhash_cross_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sig_dir = os.path.join(state_dir, "kept_sigs")
+    docs_dir = os.path.join(state_dir, "kept_docs")
+    meta_dir = os.path.join(state_dir, "_meta")
+
+    def committed() -> list[int]:
+        if not os.path.isdir(meta_dir):
+            return []
+        return sorted(
+            int(n[:-5]) for n in os.listdir(meta_dir) if n.endswith(".json")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(os.path.join(meta_dir, f"{batch_id}.json")):
+            return  # replay after crash-with-marker: already visible
+        sigs = minhash_signatures(batch_df, "text", "doc_id")
+        # ORDER MATTERS for arrival parity: history-dropping runs
+        # FIRST — a doc dropped for similarity to an earlier kept doc
+        # must not suppress its in-batch neighbors (global arrival
+        # would keep them), so in-batch arrival sees only survivors.
+        seen = committed()
+        if seen:
+            hist = (
+                spark.read.parquet(sig_dir)
+                .where(F.col("batch_id").isin(seen))
+                .select("id", "sig")
+            )
+            drop = (
+                minhash_cross_pairs(hist, sigs, bands, rows, threshold)
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            batch_df = batch_df.join(drop, "doc_id", "left_anti")
+            sigs = sigs.join(
+                drop.select(F.col("doc_id").alias("id")), "id", "left_anti"
+            )
+        in_pairs = minhash_lsh_pairs(sigs, bands, rows, threshold)
+        kept = dedup_representatives(
+            batch_df, in_pairs, "doc_id", "arrival"
+        ).cache()
+        (
+            kept.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").partitionBy("batch_id").parquet(docs_dir)
+        )
+        (
+            sigs.join(kept.select(F.col("doc_id").alias("id")), "id", "left_semi")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").partitionBy("batch_id").parquet(sig_dir)
+        )
+        kept.unpersist()
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, os.path.join(meta_dir, f"{batch_id}.json"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -151,3 +151,69 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert gset <= bset, gset - bset  # every emitted session is exact
     # no duplicate emissions
     assert len(gset) == len(got)
+
+
+def test_stream_dedup_matches_arrival(spark, tmp_path):
+    """Streaming near-dup dedup == batch arrival-mode dedup over the
+    concatenated stream (chunks arrive in id order), and replaying
+    the stream adds nothing (exactly-once)."""
+    import os
+
+    from spacetime_crawler4py_spark.operators.dedup import (
+        dedup_representatives,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from spacetime_crawler4py_spark.streaming.pipeline import stream_dedup_ingest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    mid = 25
+    docs.where(F.col("doc_id") < mid).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "in")
+    )
+    docs.where(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in")
+    )
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    state = str(tmp_path / "state")
+    q = stream_dedup_ingest(
+        spark, src, state, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(240)
+    kept_stream = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(state, "kept_docs")).collect()
+    }
+
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_lsh_pairs(sigs, bands=32, rows=2, threshold=0.5)
+    kept_batch = {
+        r["doc_id"]
+        for r in dedup_representatives(docs, pairs, "doc_id", "arrival").collect()
+    }
+    assert kept_stream == kept_batch
+    assert len(kept_stream) < docs.count()  # something was actually dropped
+
+    # replay: same checkpoint, no new files → nothing new appended
+    q2 = stream_dedup_ingest(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in")),
+        state,
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    again = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(state, "kept_docs")).collect()
+    }
+    assert again == kept_stream

@@ -357,3 +357,24 @@ def test_sketches(spark):
     n_est = K.hll_estimate(regs, b=8)
     # standard error 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
     assert abs(n_est - n_true) / n_true < 0.26, (n_est, n_true)
+
+
+def test_representatives_distributed_path_matches_driver_path(spark):
+    """Force the distributed CC/applyInPandas branch (threshold=0)
+    and pin it against the driver small-graph branch on the same
+    chained fixture — both semantics implementations must agree."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 6)], ["id_a", "id_b"]
+    ).where(F.col("id_a") != F.col("id_b"))
+    for mode in ("cc_min", "arrival"):
+        small = D.dedup_representatives(docs, pairs, mode=mode)
+        big = D.dedup_representatives(
+            docs, pairs, mode=mode, small_edges_threshold=0
+        )
+        ks = sorted(r["doc_id"] for r in small.collect())
+        kb = sorted(r["doc_id"] for r in big.collect())
+        assert ks == kb, mode
+    assert ks == [0, 2, 3, 4, 6, 7]  # arrival keeps chain-end 2
