@@ -131,3 +131,86 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def _mg_summarize(items, k: int) -> dict:
+    """Classic Misra-Gries: ≤ k-1 counters; any item with frequency
+    > n/k survives with count ≥ true - n/k."""
+    counters: dict = {}
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k - 1:
+            counters[x] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.01,
+) -> DataFrame:
+    """(item, cnt) for every item with frequency > phi·N — EXACT
+    output via the classic two-pass shape (Misra-Gries 1982):
+
+    1. candidate pass: per-PARTITION MG summaries with k = ⌈1/phi⌉
+       counters (mapInPandas; O(k) state per partition, no shuffle
+       of the raw stream).  Pigeonhole: an item above phi·N globally
+       is above phi·N_p in at least one partition, so the union of
+       partition summaries is a SUPERSET of the true heavy hitters —
+       and it is at most P·k rows, the only thing shuffled.
+    2. exact pass: semi-join the stream on the (broadcast) candidate
+       set, count, filter > phi·N.
+
+    Deterministic (the MG pass only affects WHICH candidates are
+    double-checked, never the output) — hence SQL-oracle-able even
+    though the sketch itself is order-dependent.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    k = max(int(math.ceil(1.0 / phi)), 2)
+    out_schema = StructType(
+        [StructField("item", StringType()), StructField("c", LongType())]
+    )
+
+    def gen(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for x in pdf[col]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k - 1:
+                    counters[x] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "c": list(counters.values())}
+        )
+
+    cand = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(gen, out_schema)
+        .select("item")
+        .distinct()
+    )
+    n = df.count()
+    return (
+        df.select(F.col(col).cast("string").alias("item"))
+        .join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > phi * n)
+    )

@@ -897,6 +897,29 @@ def sk_hll(spark, sf_dir):
     return hll_registers(e, "u", b=8)
 
 
+@_q(
+    "sk_heavy_hitters",
+    """
+    SELECT user_id::VARCHAR AS item, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > 75
+    """,
+)
+def sk_hh(spark, sf_dir):
+    """Heavy hitters via the two-pass Misra-Gries shape
+    (operators/sketches.py heavy_hitters): per-partition O(k)-state
+    candidate summaries (mapInPandas, nothing but P·k candidate rows
+    shuffled), then an exact count of candidates only.  Output is
+    EXACT (users with >75 events) so the plain GROUP-BY/HAVING
+    oracle certifies it — the sketch changes the cost shape, not
+    the answer."""
+    from spacetime_crawler4py_spark.operators.sketches import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    n = e.count()
+    return heavy_hitters(e, "user_id", phi=75.0 / n)
+
+
 @_q("ann_ivf_top10", None)  # oracle attached in _finalize (unrolled Lloyd)
 def ann_ivf(spark, sf_dir):
     """IVF ANN (operators/similarity.py): deterministic k-means

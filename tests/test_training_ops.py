@@ -378,3 +378,33 @@ def test_representatives_distributed_path_matches_driver_path(spark):
         kb = sorted(r["doc_id"] for r in big.collect())
         assert ks == kb, mode
     assert ks == [0, 2, 3, 4, 6, 7]  # arrival keeps chain-end 2
+
+
+def test_misra_gries_guarantee(spark):
+    """MG summary: every item above n/k survives; two-pass
+    heavy_hitters returns EXACTLY the >phi·n items with exact
+    counts, on a skewed synthetic stream split across partitions."""
+    from collections import Counter
+
+    from spacetime_crawler4py_spark.operators.sketches import (
+        _mg_summarize,
+        heavy_hitters,
+    )
+
+    stream = (["hot"] * 500 + ["warm"] * 120 + [f"cold{i}" for i in range(400)]) * 2
+    import random
+
+    random.Random(5).shuffle(stream)
+    true = Counter(stream)
+    n, k = len(stream), 10
+    summ = _mg_summarize(stream, k)
+    for item, c in true.items():
+        if c > n / k:
+            assert item in summ
+            assert summ[item] >= c - n / k
+
+    df = spark.createDataFrame([(x,) for x in stream], ["v"]).repartition(8)
+    phi = 100.0 / n
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "v", phi).collect()}
+    expect = {i: c for i, c in true.items() if c > 100}
+    assert got == expect
