@@ -436,12 +436,16 @@ def dedup_representatives(
     # iteration whose per-round fixed costs dominate small graphs).
     # Above it, the distributed large-star/small-star path runs.
     edge_rows = None
-    if (
-        small_edges_threshold > 0
-        and pairs.select("id_a", "id_b").limit(small_edges_threshold + 1).count()
-        <= small_edges_threshold
-    ):
-        edge_rows = pairs.select("id_a", "id_b").collect()
+    if small_edges_threshold > 0:
+        # one job: fetch threshold+1 rows; a full result means "too
+        # big, go distributed" without having counted everything
+        probe = (
+            pairs.select("id_a", "id_b")
+            .limit(small_edges_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= small_edges_threshold:
+            edge_rows = probe
     if edge_rows is not None:
         nodes = sorted({r["id_a"] for r in edge_rows} | {r["id_b"] for r in edge_rows})
         if mode == "cc_min":
