@@ -121,7 +121,12 @@ def write_report_files(crawled: DataFrame, out_dir: str) -> None:
         unique_pages(crawled), ["url_defrag"], "_i", start=1
     )
     _stream_text_parts(
-        numbered.select(
+        # orderBy restores the GLOBAL layout: the index assigner's
+        # _pid window hash-partitions its output, so without this
+        # the part files concatenate in scrambled order whenever
+        # post-shuffle partitions > 1 (AQE coalescing to a single
+        # partition masked it on small corpora)
+        numbered.orderBy("_i").select(
             F.concat(
                 F.col("_i").cast("string"), F.lit(". "), F.col("url_defrag"), F.lit("\n")
             ).alias("value")

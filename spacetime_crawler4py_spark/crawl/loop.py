@@ -119,6 +119,9 @@ class CrawlEngine:
         # the discovered log per batch (initialized lazily from the
         # store on first use, then maintained incrementally)
         self._max_seq: int | None = None
+        # stream-ingest markers seen at the last _max_seq sync (an
+        # interleaved streaming commit invalidates the cached mark)
+        self._seen_stream_markers: set[int] = set()
         # driver-tracked completed-row count: (max_seq+1 − this) is
         # the scheduler's pending-size estimate for picking the
         # adaptive fetch_order path.  Purely a performance heuristic:
@@ -194,6 +197,19 @@ class CrawlEngine:
 
     def run_batch(self, batch_id: int) -> dict:
         t0 = time.time()
+        # A concurrent stream_frontier_ingest on the SAME store
+        # advances seq outside this engine's cached high-water mark
+        # — reusing the stale cache would assign overlapping seqs.
+        # Stream commits are visible as >= STREAM_NS markers (a
+        # driver listdir), so re-sync only when a new one appears.
+        from spacetime_crawler4py_spark.frontier.store import STREAM_NS
+
+        stream_markers = {
+            b for b in self.store.committed_batches() if b >= STREAM_NS
+        }
+        if stream_markers != self._seen_stream_markers:
+            self._max_seq = self.store.max_seq()
+            self._seen_stream_markers = stream_markers
         pending = self.store.pending()
         if self.revalidate:
             pending = pending.where(

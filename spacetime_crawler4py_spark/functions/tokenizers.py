@@ -230,6 +230,17 @@ def tokenizer2_word_freq(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import DataFrame, functions as F
 
+    # gpos = id·2^32 + pos must stay under 2^63 (ANSI mode raises on
+    # long overflow, CLAUDE.md): ids must fit in 31 bits.  Snowflake/
+    # hash-derived ids need a dense re-key first — fail loudly, not
+    # mid-query.  (The DuckDB oracle twin shares the same bound.)
+    mx = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    if mx is not None and int(mx) >= (1 << 31):
+        raise ValueError(
+            f"tokenizer2_word_freq: max {id_col}={mx} >= 2^31 would "
+            "overflow the gpos encoding; re-key ids densely first"
+        )
+
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(

@@ -89,12 +89,20 @@ def ngram_jaccard_pairs(
     docs (ubiquitous shingles can't push a pair over a high
     threshold alone but quadratically blow up the join).
     """
-    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+    from spacetime_crawler4py_spark.operators.ids import (
+        ensure_min_partitions,
+        scratch_cache,
+    )
 
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    ).cache()  # referenced 3x below (sizes, df-filter, join) — shingle
-    # generation is the CPU-heavy step and must not re-run per branch
+    # referenced 3x below (sizes, df-filter, join) — shingle
+    # generation is the CPU-heavy step and must not re-run per
+    # branch; scratch_cache self-evicts on the next operator call
+    sh = scratch_cache(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        )
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     max_df = 1000
     rare = sh.join(
@@ -435,6 +443,12 @@ def dedup_representatives(
     # one job + one broadcast join, instead of the O(log^2) CC
     # iteration whose per-round fixed costs dominate small graphs).
     # Above it, the distributed large-star/small-star path runs.
+    from spacetime_crawler4py_spark.operators.ids import scratch_cache
+
+    # cache the edge list: the probe below and the CC/arrival pass
+    # both evaluate it, and for minhash graphs it is the expensive
+    # LSH band join
+    pairs = scratch_cache(pairs.select("id_a", "id_b"))
     edge_rows = None
     if small_edges_threshold > 0:
         # one job: fetch threshold+1 rows; a full result means "too

@@ -121,3 +121,26 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_SCRATCH_CACHES: list = []
+
+
+def scratch_cache(df: DataFrame) -> DataFrame:
+    """Cache ``df`` for intra-query reuse, releasing the caches of
+    PREVIOUS scratch_cache calls (self-cleaning: operators that
+    cache an intermediate referenced several times inside one
+    returned plan — the shingle explode, the near-dup edge list —
+    have no post-action hook to unpersist, so each new scratch
+    evicts its predecessors instead of leaking executor storage for
+    the session lifetime).  Correctness-neutral: evaluating an
+    already-returned plan after its cache was released just
+    recomputes the lineage."""
+    while _SCRATCH_CACHES:
+        try:
+            _SCRATCH_CACHES.pop().unpersist()
+        except Exception:
+            pass
+    out = df.cache()
+    _SCRATCH_CACHES.append(out)
+    return out

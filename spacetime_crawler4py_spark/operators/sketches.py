@@ -183,33 +183,32 @@ def heavy_hitters(
     )
 
     def gen(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for x in pdf[col]:
-                if x in counters:
-                    counters[x] += 1
-                elif len(counters) < k - 1:
-                    counters[x] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
+        from itertools import chain
+
+        counters = _mg_summarize(
+            chain.from_iterable(pdf[col] for pdf in batches), k
+        )
         yield pd.DataFrame(
             {"item": list(counters), "c": list(counters.values())}
         )
 
+    # nulls are excluded from both the stream and N: a null key
+    # can never survive the semi-join (SQL null-equality), so
+    # counting null rows in N while silently dropping a null heavy
+    # hitter would both misreport and diverge from any GROUP BY
+    # oracle that emits the NULL group
+    vals = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
     cand = (
-        df.select(F.col(col).cast("string").alias(col))
+        vals.withColumnRenamed("item", col)
         .mapInPandas(gen, out_schema)
         .select("item")
         .distinct()
     )
-    n = df.count()
+    n = vals.count()
     return (
-        df.select(F.col(col).cast("string").alias("item"))
-        .join(F.broadcast(cand), "item", "left_semi")
+        vals.join(F.broadcast(cand), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > phi * n)

@@ -901,7 +901,8 @@ def sk_hll(spark, sf_dir):
     "sk_heavy_hitters",
     """
     SELECT user_id::VARCHAR AS item, COUNT(*) AS cnt
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
     HAVING COUNT(*) > 75
     """,
 )
@@ -915,7 +916,7 @@ def sk_hh(spark, sf_dir):
     the answer."""
     from spacetime_crawler4py_spark.operators.sketches import heavy_hitters
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     n = e.count()
     return heavy_hitters(e, "user_id", phi=75.0 / n)
 

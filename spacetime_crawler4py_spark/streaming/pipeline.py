@@ -96,6 +96,19 @@ def stream_frontier_ingest(
         marker = STREAM_NS + batch_id  # streaming id namespace
         if marker in set(store.committed_batches()):
             return  # replay → no-op (exactly-once)
+        # crash-replay safety: a prior attempt may have appended
+        # discovered/batch_id=<marker> files and died BEFORE the
+        # marker; re-appending would make both copies visible once
+        # this attempt commits.  Quarantine the orphan first (only
+        # this handler's own partition — never another writer's).
+        import os
+        import shutil
+
+        orphan = os.path.join(
+            state_dir, "discovered", f"batch_id={marker}"
+        )
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
         # validity on the RAW link, then normalize — same load-bearing
         # order as the batch engine (scraper.py:44 → frontier.add_url)
         cand = (
@@ -211,7 +224,12 @@ def stream_sessionize(
                 closed.append((s, e, n))
                 s, e, n = t, t, 1
             else:
-                e, n = t, n + 1
+                # min/max, NOT assignment: a watermark-admissible
+                # late event from a later micro-batch can sort
+                # before the open session's bounds — rewinding
+                # session_end would emit end < start and mis-set
+                # the timeout
+                s, e, n = min(s, t), max(e, t), n + 1
         if s is not None:
             state.update((s, e, n))
             # timeout fires when the event-time watermark passes the
@@ -290,6 +308,15 @@ def stream_dedup_ingest(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(os.path.join(meta_dir, f"{batch_id}.json")):
             return  # replay after crash-with-marker: already visible
+        # crash-replay safety: drop any orphaned data this batch id
+        # wrote before dying marker-less — otherwise the re-append
+        # doubles kept docs/sigs once the marker lands
+        import shutil
+
+        for d in (docs_dir, sig_dir):
+            orphan = os.path.join(d, f"batch_id={batch_id}")
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
         sigs = minhash_signatures(batch_df, "text", "doc_id")
         # ORDER MATTERS for arrival parity: history-dropping runs
         # FIRST — a doc dropped for similarity to an earlier kept doc

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from spacetime_crawler4py_spark.analytics import report as R
 
 
@@ -61,3 +63,43 @@ def test_answers_composite_file(engine80, oracle80, tmp_path):
     assert f"Unique pages (defragmented URL): {len(oracle80.unique_pages)}" in a
     [(url, wc)] = oracle80.longest_page.items()
     assert f"{url} -> {wc} words" in a
+
+
+def test_unique_pages_order_survives_multipartition(spark, tmp_path):
+    """Regression: with AQE partition-coalescing OFF and real
+    multi-partition output, uniquePages.txt must still be globally
+    numbered 1..N in sorted-URL order (the _pid window used to
+    hash-scramble the layout before the text write)."""
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        crawled = (
+            spark.range(0, 3000)
+            .select(
+                F.concat(F.lit("https://www.ics.uci.edu/p"), F.col("id")).alias("url"),
+                F.concat(F.lit("https://www.ics.uci.edu/p"), F.col("id")).alias(
+                    "url_defrag"
+                ),
+                F.lit("word " * 120).alias("text"),
+                F.lit(200).alias("status"),
+                F.lit(120).alias("wc"),
+                F.split(F.lit(("word " * 120).strip()), " ").alias("tokens_report"),
+                F.lit(2).alias("n_unique_anchors"),
+            )
+            .repartition(8)
+        )
+        out = str(tmp_path / "rep")
+        R.write_report_files(crawled, out)
+        lines = [
+            l
+            for l in (tmp_path / "rep" / "uniquePages.txt").read_text().splitlines()
+            if l and l[0].isdigit()
+        ]
+        assert len(lines) == 3000
+        nums = [int(l.split(".")[0]) for l in lines]
+        assert nums == list(range(1, 3001))
+        urls = [l.split(". ", 1)[1] for l in lines]
+        assert urls == sorted(urls)
+    finally:
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)

@@ -217,3 +217,105 @@ def test_stream_dedup_matches_arrival(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state, "kept_docs")).collect()
     }
     assert again == kept_stream
+
+
+def test_stream_ingest_crash_replay_no_duplicates(spark, tmp_path):
+    """A crashed attempt's marker-less discovered files must be
+    quarantined when the batch replays — not doubled into the same
+    committed partition."""
+    import os
+
+    from spacetime_crawler4py_spark.frontier.store import STREAM_NS, FrontierStore
+    from spacetime_crawler4py_spark.streaming.pipeline import stream_frontier_ingest
+
+    links = spark.createDataFrame(
+        [(f"https://www.ics.uci.edu/q{i}",) for i in range(10)], "url string"
+    )
+    links.write.mode("overwrite").parquet(str(tmp_path / "links"))
+
+    # simulate the dead first attempt: orphan rows under the marker
+    # id this stream's batch 0 will use, with NO commit marker
+    state = str(tmp_path / "state")
+    orphan_dir = os.path.join(state, "discovered", f"batch_id={STREAM_NS}")
+    spark.createDataFrame(
+        [("deadbeef", "https://www.ics.uci.edu/q0", "www.ics.uci.edu", 1, None, None)],
+        "url_hash string, url string, host string, seq long, depth int, discovered_ts timestamp",
+    ).write.mode("overwrite").parquet(orphan_dir)
+
+    src = spark.readStream.schema("url string").parquet(str(tmp_path / "links"))
+    q = stream_frontier_ingest(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    store = FrontierStore(spark, state)
+    rows = store.discovered().collect()
+    assert len(rows) == 10
+    assert not any(r["url_hash"] == "deadbeef" for r in rows)
+
+
+def test_stream_dedup_crash_replay_no_duplicates(spark, tmp_path):
+    """Same quarantine contract for the dedup ingest's kept_docs /
+    kept_sigs partitions."""
+    import os
+
+    from spacetime_crawler4py_spark.streaming.pipeline import stream_dedup_ingest
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} " * 5) for i in range(6)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    state = str(tmp_path / "state")
+    # dead first attempt: doc rows under batch 0, no _meta marker
+    docs.limit(2).withColumn("batch_id", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(os.path.join(state, "kept_docs"))
+
+    src = spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in"))
+    q = stream_dedup_ingest(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    kept = spark.read.parquet(os.path.join(state, "kept_docs")).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0, 1, 2, 3, 4, 5]  # no doc duplicated, none lost
+
+
+def test_interleaved_stream_and_crawl_seq_unique(spark, corpus80, tmp_path):
+    """A streaming ingest committing BETWEEN two crawl batches on the
+    same store must not make the engine reuse its cached seq range —
+    every discovered row keeps a unique seq (total discovery order)."""
+    from collections import Counter
+
+    from spacetime_crawler4py_spark.crawl.loop import CrawlEngine
+    from spacetime_crawler4py_spark.datagen.pages import SEED_URLS
+    from spacetime_crawler4py_spark.frontier.store import FrontierStore
+    from spacetime_crawler4py_spark.streaming.pipeline import stream_frontier_ingest
+
+    corpus_dir, _ = corpus80
+    state = str(tmp_path / "state")
+    eng = CrawlEngine(
+        spark,
+        state_dir=state,
+        pages_path=f"{corpus_dir}/pages.parquet",
+        status_path=f"{corpus_dir}/fetch_status.parquet",
+        seeds=SEED_URLS,
+    )
+    eng.run(max_batches=1)
+
+    links = spark.createDataFrame(
+        [(f"https://www.ics.uci.edu/streamed{i}",) for i in range(7)],
+        "url string",
+    )
+    links.write.mode("overwrite").parquet(str(tmp_path / "links"))
+    q = stream_frontier_ingest(
+        spark,
+        spark.readStream.schema("url string").parquet(str(tmp_path / "links")),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    eng.run(max_batches=1)  # same engine instance, cached _max_seq
+
+    store = FrontierStore(spark, state)
+    seqs = [r["seq"] for r in store.discovered().select("seq").collect()]
+    dupes = {s: c for s, c in Counter(seqs).items() if c > 1}
+    assert not dupes, dupes
