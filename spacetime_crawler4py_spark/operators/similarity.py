@@ -151,7 +151,12 @@ def kmeans_fit(
 
     1. assign — distances to all k centroids as one JVM expression
        (centroids are LITERALS: k·dim doubles, broadcast-in-plan;
-       argmin = array_min over (dist, cid) structs, ties by cid);
+       argmin = array_min over (dist, cid) structs, ties by cid).
+       The literal form caps at moderate k (Catalyst analyzes a
+       k·dim-literal expression per plan); an IVF with k ≥ ~10³
+       coarse cells would switch the assign step to a broadcast
+       join against a centroid TABLE + per-row argmin window —
+       same math, same tie-break, table instead of literals;
     2. re-center — posexplode to (cid, pos, val) and a (cid, pos)
        average: an n·dim-row shuffle into k·dim groups — the
        standard distributed re-center, no collect of vectors.
