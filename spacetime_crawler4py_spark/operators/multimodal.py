@@ -307,6 +307,13 @@ def synth_media(
                 wave_f = nprng.standard_normal(rng.randint(256, 1024)) * 0.2
                 raw = encode_wav(wave_f.astype(np.float32))
                 w = h = 0
+            elif kind == "video":
+                w, h = rng.randint(4, 16), rng.randint(4, 16)
+                n_frames = rng.randint(2, 6)
+                raw = encode_frames([
+                    nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    for _ in range(n_frames)
+                ])
             else:
                 w, h = rng.randint(4, 24), rng.randint(4, 24)
                 img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -334,3 +341,102 @@ def synth_media(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------ video frame stream
+
+
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """List of HxWx3 uint8 frames → concatenated-BMP payload (each
+    BMP self-describes its byte length in the file header at offset
+    2, so the stream is seekable without an index)."""
+    return b"".join(encode_bmp(f) for f in frames)
+
+
+def frame_offsets(raw: bytes) -> list[int]:
+    """Byte offsets of each BMP frame in a concatenated-BMP payload."""
+    import struct
+
+    offs = []
+    pos = 0
+    while pos + 6 <= len(raw) and raw[pos : pos + 2] == b"BM":
+        offs.append(pos)
+        size = struct.unpack_from("<I", raw, pos + 2)[0]
+        if size <= 0:
+            break
+        pos += size
+    return offs
+
+
+def decode_frame(raw: bytes, idx: int, fake: bool = False) -> np.ndarray:
+    """Decode frame ``idx`` of a concatenated-BMP video payload
+    (clamped to the last frame, mirroring how a sampler past EOF
+    holds the final frame)."""
+    offs = frame_offsets(raw)
+    if not offs:
+        return decode_image(raw, fake=fake)
+    idx = max(0, min(idx, len(offs) - 1))
+    return decode_image(raw[offs[idx] :], fake=fake)
+
+
+def featurize_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    frame_interval_ms: int = 1000,
+    dim: int = 16,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """(media_id, frame_ts_ms, features): REAL end-to-end video
+    path — sampling points come from metadata only
+    (frame_sample_plan, no decode), then ONE mapInPandas pass per
+    video decodes exactly the sampled frames from the
+    concatenated-BMP payload and featurizes them.
+
+    Scale shape: the ts list is aggregated per media_id (bounded by
+    duration/every_ms) and joined to the payload, so each video's
+    binary crosses into Python once, carrying all its sample points
+    — never once per frame.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    plan = (
+        frame_sample_plan(media, every_ms=every_ms, id_col=id_col)
+        .groupBy(id_col)
+        .agg(F.collect_list("frame_ts_ms").alias("_ts_list"))
+    )
+    src = media.select(id_col, media_col).join(plan, id_col)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_ts_ms", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, feats = [], [], []
+            for mid, raw, ts_list in zip(
+                pdf[id_col], pdf[media_col], pdf["_ts_list"]
+            ):
+                raw = bytes(raw)
+                for ts in sorted(ts_list):
+                    img = decode_frame(raw, int(ts) // frame_interval_ms)
+                    ids.append(mid)
+                    tss.append(int(ts))
+                    feats.append(image_features(img, dim))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_ts_ms": tss, "features": feats}
+            )
+
+    return src.mapInPandas(gen, out_schema)

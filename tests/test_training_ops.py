@@ -408,3 +408,38 @@ def test_misra_gries_guarantee(spark):
     got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "v", phi).collect()}
     expect = {i: c for i, c in true.items() if c > 100}
     assert got == expect
+
+
+def test_video_frame_stream_real(spark):
+    """Concatenated-BMP video payloads: frame offsets/indexed decode
+    roundtrip, and featurize_frames samples + decodes + featurizes
+    the RIGHT frame end-to-end (one Python crossing per video)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    raw = M.encode_frames(frames)
+    assert len(M.frame_offsets(raw)) == 4
+    for i, f in enumerate(frames):
+        assert (M.decode_frame(raw, i) == f).all(), i
+    assert (M.decode_frame(raw, 99) == frames[-1]).all()  # clamp
+
+    media = M.synth_media(spark, n=12, seed=21, real=True)
+    out = M.featurize_frames(media, every_ms=1000, dim=12)
+    rows = out.collect()
+    assert rows and all(len(r["features"]) == 12 for r in rows)
+    # verify one sampled frame against a local decode of the payload
+    local = {
+        r["media_id"]: bytes(r["media"])
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    r0 = next(r for r in rows if r["frame_ts_ms"] > 0)
+    exp = M.image_features(
+        M.decode_frame(local[r0["media_id"]], r0["frame_ts_ms"] // 1000), 12
+    )
+    assert np.allclose(r0["features"], exp, atol=1e-6)
+    # every video contributed exactly its metadata-planned samples
+    plan_n = M.frame_sample_plan(media, every_ms=1000).count()
+    assert len(rows) == plan_n
