@@ -82,7 +82,12 @@ class CrawlEngine:
         # before its marker) must be quarantined before any batch
         # re-runs under the same id, or the retry's commit would make
         # both attempts visible (duplicate discovered/crawl-order rows).
-        self.store.quarantine_uncommitted()
+        # Scoped to the crawl namespace: a concurrent streaming-ingest
+        # micro-batch mid-append (data written, marker pending) must
+        # not be deleted by an engine start on the shared store.
+        from spacetime_crawler4py_spark.frontier.store import STREAM_NS
+
+        self.store.quarantine_uncommitted(below=STREAM_NS)
         self.seeds = seeds
         self.strict = strict_lifo
         self.window_ms = window_ms
@@ -242,22 +247,25 @@ class CrawlEngine:
         batch = sched.select(
             "url_hash", "url", "host", "seq", "depth", "fetch_order"
         ).cache()
-        # ONE action materializes the batch AND hands the driver the
-        # (politeness-bounded, small) schedule — n_batch, the crawl
-        # order and the completion flips all derive from it with no
-        # further Spark jobs.
-        batch_rows = batch.select("url_hash", "url", "host", "fetch_order").collect()
+        # ONE action materializes the batch cache AND hands the driver
+        # the per-host schedule counts — bounded by #hosts in the
+        # batch, never by #URLs.  The schedule itself (unbounded in
+        # host count at 10^7-host scale) stays distributed: crawl
+        # order + completion flips are Spark writes from this cache.
+        sched_by_host = {
+            (r["host"] or ""): r["n"]
+            for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
         t_sched = time.time()
-        n_batch = len(batch_rows)
+        n_batch = sum(sched_by_host.values())
         # the scheduler's fetch_order intermediate has served its
-        # purpose once the batch is cached + collected
+        # purpose once the batch is cached + materialized
         _sched_interm = getattr(sched, "_sg_cleanup", None)
         if _sched_interm is not None:
             _sched_interm.unpersist()
         if n_batch == 0:
             batch.unpersist()
             return {"n_batch": 0}
-        batch_rows.sort(key=lambda r: r["fetch_order"])
 
         # ---- fetch join (J2): broadcast the small batch side
         b = F.broadcast(batch.withColumn("_fetch_key", col_defragment(F.col("url"))))
@@ -307,14 +315,19 @@ class CrawlEngine:
 
         t_parse = time.time()
         # ---- crawl-order log (golden: Logs/Worker.log "Downloaded"
-        # lines) — driver-side pyarrow append, no Spark job
-        self.store.append_rows(
-            "crawl_order",
-            batch_id,
-            {
-                "fetch_order": [int(r["fetch_order"]) for r in batch_rows],
-                "url": [r["url"] for r in batch_rows],
-            },
+        # lines) + completion flips (T5: idempotent — completed()
+        # projects (url_hash, batch_id) from this same log): ONE
+        # distributed write from the cached batch.  The schedule
+        # never rides through the driver — at 10^7 hosts × politeness
+        # cap this is the write that the round-1/2 driver append
+        # could not survive.
+        self.store.append_crawl_order(
+            batch.select(
+                "url_hash",
+                "url",
+                F.col("fetch_order").cast("long").alias("fetch_order"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
         )
 
         # ---- link pipeline: F1-F4 validity on the RAW href, THEN
@@ -441,12 +454,8 @@ class CrawlEngine:
             _seq_interm.unpersist()
         new.unpersist()
 
-        # ---- completions (T5: idempotent flips) — driver-side append
-        self.store.append_rows(
-            "completed",
-            batch_id,
-            {"url_hash": [r["url_hash"] for r in batch_rows]},
-        )
+        # completions were written with the crawl-order log above;
+        # only the driver-side count cache needs the increment
         if self._n_completed is not None:
             self._n_completed += n_batch
 
@@ -479,10 +488,6 @@ class CrawlEngine:
                 "t_links_ms": [meta["t_links_ms"]],
             },
         )
-        sched_by_host: dict[str, int] = {}
-        for r in batch_rows:
-            h = r["host"] or ""
-            sched_by_host[h] = sched_by_host.get(h, 0) + 1
         hosts = sorted(set(sched_by_host) | set(new_by_host))
         self.store.append_rows(
             "lineage",

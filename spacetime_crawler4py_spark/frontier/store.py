@@ -72,6 +72,17 @@ COMPLETED_SCHEMA = StructType(
     ]
 )
 
+# crawl-order log: one row per scheduled fetch, written distributed
+# by the crawl loop (doubles as the completion log — see completed())
+CRAWL_ORDER_SCHEMA = StructType(
+    [
+        StructField("url_hash", StringType()),
+        StructField("url", StringType()),
+        StructField("fetch_order", LongType()),
+        StructField("batch_id", LongType()),
+    ]
+)
+
 N_HOST_BUCKETS = 64
 
 # Streaming-ingest commits live in a disjoint batch_id namespace so
@@ -90,8 +101,10 @@ _LOG_DIRS = (
     "lineage",
 )
 
-# append_rows file naming (8-digit batch id + writer pid)
-_PART_FILE_RE = re.compile(r"^part-(\d{8})-\d+\.parquet$")
+# append_rows file naming (zero-padded-but-unbounded batch id + writer
+# pid): ids >= 10^8 (e.g. STREAM_NS-namespaced foreachBatch ids) render
+# as 9+ digits, so the parse must accept 8-or-more
+_PART_FILE_RE = re.compile(r"^part-(\d{8,})-\d+\.parquet$")
 
 
 class FrontierStore:
@@ -168,7 +181,7 @@ class FrontierStore:
 
     # -------------------------------------------------- crash recovery
 
-    def quarantine_uncommitted(self) -> int:
+    def quarantine_uncommitted(self, below: int | None = None) -> int:
         """Delete data files of batches that never committed.
 
         A crashed attempt writes data files (discovered/, crawled_pages/,
@@ -180,9 +193,20 @@ class FrontierStore:
         ``batch_id=N`` hive partitions; driver-side append_rows files
         carry the id in the filename — both are identifiable without
         opening a single footer.  Returns the number of paths removed.
+
+        ``below`` bounds the quarantine to batch ids strictly less
+        than it.  The crawl engine passes STREAM_NS so a concurrent
+        streaming-ingest micro-batch that has appended data but not
+        yet written its marker is NOT treated as a crash orphan —
+        streaming orphans belong to the stream handler's own
+        quarantine, which knows which stream ids are genuinely dead.
         """
         committed = set(self.committed_batches())
         removed = 0
+
+        def dead(bid: int) -> bool:
+            return bid not in committed and (below is None or bid < below)
+
         for name in _LOG_DIRS:
             d = os.path.join(self.dir, name)
             if not os.path.isdir(d):
@@ -194,12 +218,12 @@ class FrontierStore:
                         bid = int(entry.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if bid not in committed:
+                    if dead(bid):
                         shutil.rmtree(p)
                         removed += 1
                 else:
                     m = _PART_FILE_RE.match(entry)
-                    if m and int(m.group(1)) not in committed:
+                    if m and dead(int(m.group(1))):
                         os.remove(p)
                         removed += 1
         return removed
@@ -210,7 +234,34 @@ class FrontierStore:
         return self._read("discovered", DISCOVERED_SCHEMA)
 
     def completed(self) -> DataFrame:
-        return self._read("completed", COMPLETED_SCHEMA)
+        """Completion flips: union of the explicit completed log and
+        the crawl-order log's (url_hash, batch_id) projection.
+
+        The crawl loop writes its schedule ONCE per batch — a single
+        distributed write to ``crawl_order/`` — and that log doubles
+        as the completion log (a URL scheduled in batch N is exactly a
+        completion flip at batch N; expiry revocation stays in
+        ``expired/``).  The separate ``completed/`` dir remains for
+        direct ``append_completed`` callers (tests, external tools).
+        Column pruning pushes the 2-column projection into the
+        parquet scan, so doubling as the order log costs no extra
+        bytes here.
+        """
+        parts = []
+        if os.path.exists(os.path.join(self.dir, "completed")):
+            parts.append(self._read("completed", COMPLETED_SCHEMA))
+        if os.path.exists(os.path.join(self.dir, "crawl_order")):
+            parts.append(
+                self._read("crawl_order", CRAWL_ORDER_SCHEMA).select(
+                    "url_hash", "batch_id"
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], COMPLETED_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def expired(self) -> DataFrame:
         """Recrawl/TTL expiry log: completions revoked append-only.
@@ -284,6 +335,16 @@ class FrontierStore:
         df.select("url_hash", "batch_id").write.mode("append").partitionBy(
             "batch_id"
         ).parquet(os.path.join(self.dir, "completed"))
+
+    def append_crawl_order(self, df: DataFrame) -> None:
+        """ONE distributed write per batch covering both the crawl-order
+        golden log and (via completed()'s projection) the completion
+        flips — the batch never rides through the driver."""
+        df.select(
+            [f.name for f in CRAWL_ORDER_SCHEMA.fields]
+        ).write.mode("append").partitionBy("batch_id").parquet(
+            os.path.join(self.dir, "crawl_order")
+        )
 
     # ---------------------------------------------- driver-side appends
 

@@ -56,10 +56,16 @@ def connected_components(
     component = the minimum node id of its component.
 
     Each iteration materializes the shrinking edge list (cached) and
-    stops when the large-star round is a fixed point (edge count and
-    sum-of-endpoints stable — cheap aggregate, no collect of edges).
-    Isolated nodes never appear in ``pairs`` and are their own
+    stops at a fixed point, detected by an order-insensitive
+    signature over the full edge SET: (count, sum of 64-bit edge
+    hashes) — one cheap aggregate, no collect of edges.  Unlike the
+    endpoint-sum heuristic, two distinct edge sets colliding requires
+    an xxhash64 sum collision (~2⁻⁶⁴), not merely equal arithmetic
+    sums.  Isolated nodes never appear in ``pairs`` and are their own
     components by definition (callers left-join and coalesce).
+    Raises RuntimeError if max_iter is exhausted without convergence
+    (silently returning unconverged components would corrupt dedup
+    representative selection downstream).
     """
     edges = (
         pairs.select(
@@ -71,18 +77,32 @@ def connected_components(
         .cache()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         nxt = _star(_star(edges, large=True), large=False).cache()
         sig = tuple(
             nxt.agg(
-                F.count("*").alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+                F.count("*").alias("n"),
+                # decimal(38,0) accumulator: summing raw 64-bit hashes
+                # overflows long under ANSI mode
+                F.sum(
+                    F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+                ).alias("h"),
             ).first()
         )
         edges.unpersist()
         edges = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (components deeper than "
+            "O(log^2 n) star-contraction rounds)"
+        )
     # after convergence every edge is (node, component_min)
     comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node")).distinct().select(

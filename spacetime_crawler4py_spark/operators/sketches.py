@@ -207,9 +207,15 @@ def heavy_hitters(
         .distinct()
     )
     n = vals.count()
+    # integer threshold: counts are integers, so `cnt > phi*n` is
+    # exactly `cnt > floor(phi*n)` — comparing against the float
+    # directly risks admitting a boundary count when phi arrives as
+    # min_count/n and phi*n rounds to 74.999…, diverging from an
+    # integer `HAVING COUNT(*) > k` oracle
+    threshold = int(math.floor(phi * n + 1e-9))
     return (
         vals.join(F.broadcast(cand), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > phi * n)
+        .where(F.col("cnt") > F.lit(threshold))
     )
