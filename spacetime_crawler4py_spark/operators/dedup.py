@@ -62,14 +62,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Empty tokens (leading whitespace artifacts of regex split) are
     filtered so shingles match a filtered-token oracle exactly.
+
+    Docs with fewer than ``n`` words (and null texts) yield the
+    empty array — the k<=0 branch must be guarded because
+    ``sequence(1, 0)`` is a DESCENDING sequence in Spark, whose
+    second element would reach ``slice(words, 0, n)`` and throw
+    under ANSI mode.
     """
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - F.lit(1))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
+    k = F.size(words) - F.lit(n - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
+
+
+def shingle_key60(col: Column) -> Column:
+    """Shingle string → 60-bit int join key (top 15 hex digits of
+    md5).  Used so the shingle self-join shuffles 8-byte longs
+    instead of full shingle strings (several-fold fewer shuffle
+    bytes at 100 TB).  Cross-engine reproducible — DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — so the SQL oracle
+    joins on the SAME key and sees the same (negligible, ~2⁻⁶⁰-rate)
+    collisions; parity is exact by construction, not probabilistic.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def ngram_jaccard_pairs(
@@ -78,30 +99,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    shingle_key: str = "hash60",  # "hash60" | "string"
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-Jaccard ≥ t.
 
     Exact (not approximate): candidates come from the shingle
     equi-self-join — only docs sharing ≥1 shingle are compared, and
-    Jaccard is computed from exact shared/size counts.  Shuffle key
-    is the shingle string; hot shingles are the skew risk, so pair
-    generation drops shingles occurring in more than ``max_df``
-    docs (ubiquitous shingles can't push a pair over a high
-    threshold alone but quadratically blow up the join).
+    Jaccard is computed from exact shared/size counts.  The join key
+    is the 60-bit md5-derived shingle hash by default (8-byte
+    shuffle rows; see shingle_key60) — ``shingle_key='string'``
+    keeps the raw-shingle join for debugging/audit.  Hot shingles
+    are the skew risk, so pair generation drops shingles occurring
+    in more than ``max_df`` docs (ubiquitous shingles can't push a
+    pair over a high threshold alone but quadratically blow up the
+    join).
     """
     from spacetime_crawler4py_spark.operators.ids import (
         ensure_min_partitions,
         scratch_cache,
     )
 
+    key = (
+        shingle_key60(F.col("s")).alias("s")
+        if shingle_key == "hash60"
+        else F.col("s")
+    )
     # referenced 3x below (sizes, df-filter, join) — shingle
     # generation is the CPU-heavy step and must not re-run per
     # branch; scratch_cache self-evicts on the next operator call
     sh = scratch_cache(
-        ensure_min_partitions(df).select(
+        ensure_min_partitions(df)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("s"),
         )
+        .select("id", key)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     max_df = 1000
@@ -181,31 +213,50 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "md5",
 ) -> DataFrame:
-    """(id, sig array<long>) — k MinHash values, fully JVM-side.
+    """(id, sig array<long>) — k MinHash values, fully JVM-side and
+    SHUFFLE-FREE.
 
     Each permutation is (a*h + b) mod p over the Mersenne prime
-    2^31-1, min-aggregated per doc.  One explode + one groupBy with
-    k partial-min aggregates — map-side combine keeps the shuffle at
-    k longs/doc.  ``base_hash`` picks the shingle hash (see
+    2^31-1.  The k mins are computed per row as one ``aggregate``
+    fold over the doc's shingle-hash array: each shingle hash is
+    evaluated ONCE (one md5 per shingle) and folded into a k-long
+    running-min vector via zip_with/least.  No explode, no groupBy —
+    a narrow map stage whose output is k longs/doc, so signature
+    computation never shuffles at all (the earlier explode +
+    k-partial-min groupBy shape paid a shuffle of partial aggregates
+    per doc).  ``base_hash`` picks the shingle hash (see
     shingle_base_hash).
     """
     from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
 
     df = ensure_min_partitions(df)
     coeffs = _perm_coeffs(k, seed)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    ).withColumn("h", shingle_base_hash(F.col("s"), base_hash))
-    aggs = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sigs = sh.groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    shingles = word_shingles(F.col(text_col), n)
+    hashes = F.transform(shingles, lambda s: shingle_base_hash(s, base_hash))
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    # init = p sentinel (every perm value is < p); h < p and a < p so
+    # h*a + b < 2^62 — no ANSI overflow
+    init = F.array(*([F.lit(MERSENNE_P).cast("long")] * k))
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, F.pmod(h * c["a"] + c["b"], F.lit(MERSENNE_P))
+            ),
+        ),
+    )
+    return df.where(F.size(shingles) > 0).select(
+        F.col(id_col).alias("id"), sig.alias("sig")
     )
 
 

@@ -1379,12 +1379,18 @@ def _finalize() -> None:
         "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), "
         "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))"
     )
+    # the Spark side joins on the 60-bit md5-derived shingle key
+    # (operators/dedup.py shingle_key60) — the oracle joins on the
+    # SAME key, so parity is exact by construction even under hash
+    # collisions
     ORACLES["dedup_ngram_jaccard_pairs"] = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
       FROM documents
+    ), sh_s AS (
+      SELECT doc_id, unnest({sh}) AS s0 FROM ws_t
     ), sh_t AS (
-      SELECT doc_id, unnest({sh}) AS s FROM ws_t
+      SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM sh_s
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM sh_t GROUP BY doc_id
     ), pairs AS (
