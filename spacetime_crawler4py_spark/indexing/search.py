@@ -67,7 +67,7 @@ def _difflib_filter(tfidf: DataFrame, term: str, cutoff: float) -> DataFrame:
 
 
 def _term_postings(
-    tfidf: DataFrame, term: str, per_term_limit: int, fuzzy
+    tfidf: DataFrame, term: str, per_term_limit: int, fuzzy, score_col: str = "tfidf"
 ) -> DataFrame:
     """``fuzzy``: False → exact token match; True → levenshtein ≤ 1
     (fast JVM approximation); 'difflib' → reference-verbatim ratio
@@ -86,9 +86,9 @@ def _term_postings(
     else:
         cand = tfidf.where(F.col("token") == term)
     return (
-        cand.orderBy(F.desc("tfidf"))
+        cand.orderBy(F.desc(score_col))
         .limit(per_term_limit)  # TakeOrderedAndProject: the reference's top-1000 cut
-        .select("doc_id", F.col("tfidf").alias("score"))
+        .select("doc_id", F.col(score_col).alias("score"))
     )
 
 
@@ -101,13 +101,20 @@ def search(
     fuzzy: bool | str = False,
     last_word_only: bool = False,
     mode: str = "and",
+    ranking: str = "tfidf",
 ) -> DataFrame:
     """Returns (doc_id, score, url) top_k rows, score desc.
 
     ``docs`` is the doc index (doc_id, url) — small; broadcast for
     the J3 lookup.  mode='and' intersects terms (J4); mode='or'
     unions with score sum (the indexer.py:495-497 fallback U4).
+    ``ranking`` picks the score column of the index DataFrame:
+    'tfidf' (reference semantics) or 'bm25' (postings.bm25() output
+    — Okapi ranking the reference lacks); every other stage (per-term
+    top-N cut, AND/OR combine, J3 lookup) is identical.
     """
+    if ranking not in ("tfidf", "bm25"):
+        raise ValueError(f"ranking must be 'tfidf' or 'bm25', got {ranking!r}")
     terms = stem_query(query)
     if last_word_only and terms:
         terms = terms[-1:]
@@ -115,9 +122,8 @@ def search(
         return docs.select("doc_id", F.lit(0.0).alias("score"), "url").limit(0)
 
     per_term = [
-        _term_postings(tfidf, t, per_term_limit, fuzzy).withColumnRenamed(
-            "score", f"s{i}"
-        )
+        _term_postings(tfidf, t, per_term_limit, fuzzy, score_col=ranking)
+        .withColumnRenamed("score", f"s{i}")
         for i, t in enumerate(terms)
     ]
     if mode == "and":

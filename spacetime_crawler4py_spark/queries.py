@@ -620,6 +620,79 @@ def a6a8_bm25(spark, sf_dir):
     )
 
 
+# Query terms are Porter-stem fixed points (stem(w) == w), so the
+# stem_query() step inside search() is exercised without the oracle
+# needing a SQL Porter implementation.
+_SEARCH_BM25_TERMS = ("data", "vector", "stream")
+
+
+@_q(
+    "search_bm25_top10",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ), n_td AS (
+      SELECT word, doc_id, COUNT(*) AS n FROM toks GROUP BY word, doc_id
+    ), dlen AS (
+      SELECT doc_id, COUNT(*) AS len_d FROM toks GROUP BY doc_id
+    ), idf AS (
+      SELECT word,
+             ln(((SELECT COUNT(*) FROM documents) - COUNT(DISTINCT doc_id) + 0.5)
+                / (COUNT(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+      FROM toks GROUP BY word
+    ), scores AS (
+      SELECT n_td.word AS token, n_td.doc_id,
+             idf.idf * (n_td.n * 2.2)
+             / (n_td.n + 1.2 * (0.25 + 0.75 * dlen.len_d
+                / (SELECT AVG(len_d) FROM dlen))) AS s
+      FROM n_td JOIN dlen USING (doc_id) JOIN idf USING (word)
+    )
+    SELECT s0.doc_id, ROUND(0.0 + s0.s + s1.s + s2.s, 4) AS score,
+           d.source AS url
+    FROM scores s0
+    JOIN scores s1 ON s0.doc_id = s1.doc_id
+    JOIN scores s2 ON s0.doc_id = s2.doc_id
+    JOIN documents d ON d.doc_id = s0.doc_id
+    WHERE s0.token = '{_SEARCH_BM25_TERMS[0]}'
+      AND s1.token = '{_SEARCH_BM25_TERMS[1]}'
+      AND s2.token = '{_SEARCH_BM25_TERMS[2]}'
+    ORDER BY 0.0 + s0.s + s1.s + s2.s DESC, s0.doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_bm25_top10(spark, sf_dir):
+    """Full search() pipeline with ranking='bm25' (J3 broadcast doc
+    lookup + J4 multi-term AND intersection + O7 top-k cut) over the
+    a6a8_bm25 index — the reference's run_engine shape
+    (indexer.py:435-471) with Okapi ranking it lacks.  The oracle
+    replays per-term score lookup, left-to-right score sum, and the
+    (score DESC, doc_id ASC) top-10 in plain SQL; per_term_limit is
+    set above the corpus size so the (still planned) TakeOrdered cut
+    never truncates — the oracle has no per-term cut."""
+    from spacetime_crawler4py_spark.indexing.postings import bm25
+    from spacetime_crawler4py_spark.indexing.search import search
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    posts = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("token"),
+    )
+    idx = bm25(posts, doc_count=n_docs, k1=1.2, b=0.75)
+    res = search(
+        idx,
+        d.select("doc_id", F.col("source").alias("url")),
+        " ".join(_SEARCH_BM25_TERMS),
+        top_k=10,
+        per_term_limit=1_000_000,
+        mode="and",
+        ranking="bm25",
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"), "url")
+
+
 @_q(
     "a5_tokenizer2_verbatim",
     """

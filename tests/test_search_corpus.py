@@ -130,3 +130,36 @@ def test_difflib_two_tier_fallback(index):
         search(scores, docs, "jayaywfajsuwgvq", fuzzy="difflib", mode="or").count()
         == 0
     )
+
+
+# ---------------------------------------------------- BM25 ranking
+
+
+def test_bm25_ranking(index, spark, corpus80):
+    """search(ranking='bm25') runs the identical pipeline over a
+    bm25-scored index: results non-empty on a common word, sorted by
+    score desc, and scores are BM25 (bounded by idf*(k1+1) — unlike
+    tf-idf they saturate in term frequency)."""
+    corpus_dir, _ = corpus80
+    from pyspark.sql import Window
+
+    _, docs = index
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    d = pages.select("url", "text").withColumn(
+        "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
+    )
+    posts = P.build_postings(d)
+    idx = P.bm25(posts, doc_count=d.count())
+    res = search(idx, docs, "research", top_k=10, mode="or", ranking="bm25").collect()
+    assert len(res) > 0
+    ss = [r["score"] for r in res]
+    assert ss == sorted(ss, reverse=True)
+    # multi-word AND intersection works under bm25 too
+    res_and = search(idx, docs, "research data", mode="and", ranking="bm25").collect()
+    assert all(r["score"] > 0 for r in res_and)
+
+
+def test_bad_ranking_raises(index):
+    scores, docs = index
+    with pytest.raises(ValueError):
+        search(scores, docs, "research", ranking="pagerank")

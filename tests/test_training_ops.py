@@ -59,6 +59,28 @@ def test_ngram_jaccard(docs):
     assert kept == [0, 3, 4]
 
 
+def test_short_null_and_empty_docs(spark):
+    """Docs shorter than the shingle width, empty, and null texts
+    yield no shingles and no signatures — regression for the
+    sequence(1,0)/slice(words,0,n) ANSI crash on the k<=0 branch."""
+    df = spark.createDataFrame(
+        [(0, "only two"), (1, ""), (2, None),
+         (3, "three word doc"), (4, "three word doc")],
+        "doc_id long, text string",
+    )
+    sh = df.select(
+        "doc_id", F.size(D.word_shingles(F.col("text"), 3)).alias("n")
+    ).collect()
+    assert {r["doc_id"]: r["n"] for r in sh} == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(df, k=8).collect()}
+    assert sorted(sigs) == [3, 4] and sigs[3] == sigs[4]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs == {(3, 4)}
+
+
 def test_minhash_lsh(docs):
     sigs = D.minhash_signatures(docs, k=64)
     rows = {r["id"]: r["sig"] for r in sigs.collect()}
