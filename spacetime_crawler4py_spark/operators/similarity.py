@@ -142,6 +142,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 6,
+    assign: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd k-means coarse quantizer for IVF.
 
@@ -149,14 +150,14 @@ def kmeans_fit(
     production fit would use k-means||, which changes only this
     seeding step).  Each iteration:
 
-    1. assign — distances to all k centroids as one JVM expression
-       (centroids are LITERALS: k·dim doubles, broadcast-in-plan;
-       argmin = array_min over (dist, cid) structs, ties by cid).
-       The literal form caps at moderate k (Catalyst analyzes a
-       k·dim-literal expression per plan); an IVF with k ≥ ~10³
-       coarse cells would switch the assign step to a broadcast
-       join against a centroid TABLE + per-row argmin window —
-       same math, same tie-break, table instead of literals;
+    1. assign — distances to all k centroids, two bit-identical
+       variants picked by ``assign``: 'literal' (centroids as
+       k·dim plan literals, argmin = array_min over (dist, cid)
+       structs — shuffle-free, caps at moderate k because Catalyst
+       analyzes the whole expression) and 'join' (centroids as a
+       broadcast TABLE + min(struct) argmin — plan O(1) in k, the
+       real-IVF path for k ≥ ~10³ cells; see ivf_assign_join).
+       'auto' switches to 'join' at k ≥ 64;
     2. re-center — posexplode to (cid, pos, val) and a (cid, pos)
        average: an n·dim-row shuffle into k·dim groups — the
        standard distributed re-center, no collect of vectors.
@@ -175,7 +176,7 @@ def kmeans_fit(
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
     for _ in range(n_iter):
-        assigned = ivf_assign(emb, cents, vec_col, id_col)
+        assigned = _assign(emb, cents, vec_col, id_col, assign)
         pe = emb.join(assigned, id_col).select(
             "cid", F.posexplode(vec_col).alias("pos", "val")
         )
@@ -233,6 +234,71 @@ def ivf_assign(
     )
 
 
+def ivf_assign_join(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-k assign: same (vec_id, cid) contract as ivf_assign but
+    the centroids are a broadcast TABLE, not plan literals.
+
+    ivf_assign embeds k·dim doubles in the Catalyst expression —
+    fine at coarse k≤~10², hopeless at real IVF cell counts (4k–64k
+    cells: plans megabytes wide, analysis time superlinear).  Here
+    the fan-out is a BroadcastHashJoin on a constant key (every vec
+    row meets every centroid row; the plan stays O(1) in k and the
+    centroid payload rides the broadcast variable), distances use
+    the IDENTICAL left-to-right zip_with/aggregate double fold as
+    _sq_dist, and the argmin is min(struct(d, cid)) — partial-agg
+    map-side, so the shuffle carries one (id, struct) row per vec,
+    never the ×k candidates.  Tie-break (lower cid) and every
+    float op match the literal path bit-for-bit, so the two
+    variants are interchangeable under the same SQL oracle.
+    """
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, c array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("c"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # the fan-out key is always-equal (x mod 1 == 0) but derived
+    # from row columns, so Catalyst can't constant-fold it away —
+    # the join stays a hash equi-join (a literal key folds to a
+    # BroadcastNestedLoopJoin, which AQE can't re-plan)
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_one", F.pmod(F.col(id_col).cast("long"), F.lit(1)))
+        .join(
+            F.broadcast(
+                cdf.withColumn("_one", F.pmod(F.col("cid").cast("long"), F.lit(1)))
+            ),
+            "_one",
+        )
+        .select(F.col(id_col), d.alias("d"), F.col("cid"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cid"))["cid"].alias("cid"))
+    )
+
+
+def _assign(emb, centroids, vec_col, id_col, assign: str):
+    """assign='literal' | 'join' | 'auto' (join at k ≥ 64)."""
+    if assign not in ("literal", "join", "auto"):
+        raise ValueError(f"assign must be literal|join|auto, got {assign!r}")
+    if assign == "auto":
+        assign = "join" if len(centroids) >= 64 else "literal"
+    fn = ivf_assign_join if assign == "join" else ivf_assign
+    return fn(emb, centroids, vec_col, id_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -243,6 +309,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest coarse clusters,
     exact cosine inside them only.
@@ -254,13 +321,16 @@ def ivf_topk(
     Here the assign happens inline on the small test table.
     """
     if centroids is None:
-        centroids = kmeans_fit(emb, k=n_centroids, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+        centroids = kmeans_fit(
+            emb, k=n_centroids, n_iter=n_iter, vec_col=vec_col,
+            id_col=id_col, assign=assign,
+        )
     qd = [
         (sum((float(q) - c) * (float(q) - c) for q, c in zip(query_vec, vec)), cid)
         for cid, vec in centroids
     ]
     probe = [cid for _, cid in sorted(qd)[:nprobe]]
-    assigned = ivf_assign(emb, centroids, vec_col, id_col)
+    assigned = _assign(emb, centroids, vec_col, id_col, assign)
     q = _query_lit(query_vec)
     return (
         emb.join(assigned, id_col)

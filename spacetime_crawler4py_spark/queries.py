@@ -1007,7 +1007,26 @@ def ann_ivf(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf_topk(e, q, k=10, n_centroids=8, nprobe=2, n_iter=2)
+    out = ivf_topk(e, q, k=10, n_centroids=8, nprobe=2, n_iter=2, assign="literal")
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@_q("ann_ivf_join_top10", None)  # oracle attached in _finalize (unrolled Lloyd)
+def ann_ivf_join(spark, sf_dir):
+    """IVF ANN at real coarse-cell counts (k=256, nprobe=16) via the
+    broadcast-join assign (operators/similarity.py ivf_assign_join):
+    the centroid table rides a broadcast variable instead of k·dim
+    plan literals, so the plan is O(1) in k — the shape a 10⁹-vector
+    IVF needs at 4k–64k cells.  Gated by the SAME unrolled-Lloyd SQL
+    oracle as ann_ivf_top10 (generated at k=256): a hash match
+    proves the join assign is bit-identical to the literal math."""
+    from spacetime_crawler4py_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(
+        e, q, k=10, n_centroids=256, nprobe=16, n_iter=2, assign="join"
+    )
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1565,8 +1584,12 @@ def _finalize() -> None:
     # SQL.  Distance/dot sums are unrolled left-to-right chains —
     # bitwise-identical to Spark's aggregate() index-order fold; the
     # 6-dp centroid rounding (the operator contract) absorbs the
-    # engines' different AVG accumulation orders.
-    _dim, _k, _nprobe = 64, 8, 2
+    # engines' different AVG accumulation orders.  Parameterized so
+    # the literal-assign (k=8) and broadcast-join-assign (k=256)
+    # catalog rows share ONE oracle shape — the two Spark assign
+    # variants are bit-identical by contract, so the same SQL gates
+    # both.
+    _dim = 64
 
     def _l2(a: str, b: str) -> str:
         return "(" + " + ".join(
@@ -1603,13 +1626,14 @@ def _finalize() -> None:
       ) g USING (cid)
     )"""
 
-    ORACLES["ann_ivf_top10"] = f"""
+    def _ivf_oracle(k: int, nprobe: int) -> str:
+        return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), c0 AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
-      FROM e ORDER BY vec_id LIMIT {_k}
+      FROM e ORDER BY vec_id LIMIT {k}
     ), {_assign_cte("a1", "c0")},
     {_recenter_cte("a1", "c0", "c1")},
     {_assign_cte("a2", "c1")},
@@ -1620,7 +1644,7 @@ def _finalize() -> None:
         SELECT c2.cid,
                row_number() OVER (ORDER BY {_l2("qv.v", "c2.c")}, c2.cid) AS rn
         FROM c2, qv)
-      WHERE rn <= {_nprobe}
+      WHERE rn <= {nprobe}
     ), {_assign_cte("a3", "c2")}
     SELECT e.vec_id,
            ROUND({_dot("e.v", "qv.v")}
@@ -1631,6 +1655,9 @@ def _finalize() -> None:
     ORDER BY score DESC, e.vec_id
     LIMIT 10
     """
+
+    ORACLES["ann_ivf_top10"] = _ivf_oracle(k=8, nprobe=2)
+    ORACLES["ann_ivf_join_top10"] = _ivf_oracle(k=256, nprobe=16)
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

@@ -179,3 +179,31 @@ def test_contiguous_index_adaptive_small_path(spark):
     )
     assert "SinglePartition" not in _plan(big)
     interm2.unpersist()
+
+
+def test_ivf_join_assign_is_broadcast_not_literals(spark):
+    """ivf_assign_join plans a BroadcastHashJoin whose width is O(1)
+    in k — the centroid data rides the broadcast relation, never the
+    Catalyst expression — and its argmin aggregate is partial
+    (map-side combine) so the shuffle carries one row per vec, not
+    the ×k fan-out.  The literal path at the same k would embed
+    k·dim doubles in the plan."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_join,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=64, n_iter=1, assign="join")
+    joined = ivf_assign_join(emb, cents)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan  # map-side argmin combine
+    # plan text is O(1) in k: far below what 64*64 double literals need
+    lit = _plan(ivf_assign(emb, cents))
+    assert len(plan) < len(lit) / 5
+    # and the two assign variants agree row-for-row
+    j = {r["vec_id"]: r["cid"] for r in joined.collect()}
+    l = {r["vec_id"]: r["cid"] for r in ivf_assign(emb, cents).collect()}
+    assert j == l
