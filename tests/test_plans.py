@@ -207,3 +207,17 @@ def test_ivf_join_assign_is_broadcast_not_literals(spark):
     j = {r["vec_id"]: r["cid"] for r in joined.collect()}
     l = {r["vec_id"]: r["cid"] for r in ivf_assign(emb, cents).collect()}
     assert j == l
+
+
+def test_emb_neardup_catalog_has_no_cartesian(spark):
+    """Catalog hygiene: emb_neardup_pairs runs the bucketed operator
+    — the exhaustive cross join lives only in its DuckDB oracle.
+    The one sanctioned crossJoin in the catalog is broadcast-of-one-
+    row (the ANN query vector)."""
+    from spacetime_crawler4py_spark import queries
+
+    df = queries.QUERIES["emb_neardup_pairs"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # candidates come from the bucket equi-join
