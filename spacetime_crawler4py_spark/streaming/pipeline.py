@@ -364,3 +364,108 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sketch_ingest(
+    spark,
+    items_stream: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    w: int = 256,
+    d: int = 4,
+    b: int = 8,
+):
+    """Streaming CMS + HLL maintenance: per-micro-batch sketch cells
+    append partitioned by batch_id with a marker-last commit; the
+    running sketch is a FOLD over committed partitions — sum-combine
+    for CMS cells (the sketch is a linear operator) and max-combine
+    for HLL registers (mergeable by construction, operators/
+    sketches.py).  Approximate monitoring stats over an unbounded
+    stream therefore cost O(d·w + 2^b) state per batch, never a
+    second pass over the data.
+
+    Exactly-once mirrors stream_dedup_ingest: a replayed foreachBatch
+    id short-circuits on its marker; a crashed marker-less attempt's
+    orphan partitions are quarantined before re-append — so
+    sketch_state() equals the batch sketch of the concatenated
+    stream EXACTLY (cell-for-cell, pinned by
+    tests/test_streaming.py::test_stream_sketch_matches_batch).
+    """
+    import json
+    import os
+    import shutil
+
+    from spacetime_crawler4py_spark.operators.sketches import (
+        cms_build,
+        hll_registers,
+    )
+
+    cms_dir = os.path.join(state_dir, "cms_cells")
+    hll_dir = os.path.join(state_dir, "hll_regs")
+    meta_dir = os.path.join(state_dir, "_meta")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(os.path.join(meta_dir, f"{batch_id}.json")):
+            return  # replay after crash-with-marker: already visible
+        for dpath in (cms_dir, hll_dir):
+            orphan = os.path.join(dpath, f"batch_id={batch_id}")
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+        (
+            cms_build(batch_df, col, w=w, d=d)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").partitionBy("batch_id").parquet(cms_dir)
+        )
+        (
+            hll_registers(batch_df, col, b=b)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").partitionBy("batch_id").parquet(hll_dir)
+        )
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "kind": "sketch"}, f)
+        os.replace(tmp, os.path.join(meta_dir, f"{batch_id}.json"))
+
+    return (
+        items_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sketch_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cms, hll): the running sketches folded over COMMITTED batch
+    partitions only — cms is (row, bucket, cnt) with summed counts,
+    hll is (bucket, r) with max registers.  Uncommitted (crash-
+    orphan) partitions are invisible, same reader contract as the
+    FrontierStore committed filter."""
+    import os
+
+    meta_dir = os.path.join(state_dir, "_meta")
+    committed = []
+    if os.path.isdir(meta_dir):
+        committed = [
+            int(n[:-5])
+            for n in os.listdir(meta_dir)
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+    if not committed:
+        empty_cms = spark.createDataFrame([], "row int, bucket long, cnt long")
+        empty_hll = spark.createDataFrame([], "bucket long, r int")
+        return empty_cms, empty_hll
+    cms = (
+        spark.read.parquet(os.path.join(state_dir, "cms_cells"))
+        .where(F.col("batch_id").isin(committed))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    hll = (
+        spark.read.parquet(os.path.join(state_dir, "hll_regs"))
+        .where(F.col("batch_id").isin(committed))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    return cms, hll

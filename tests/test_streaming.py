@@ -319,3 +319,81 @@ def test_interleaved_stream_and_crawl_seq_unique(spark, corpus80, tmp_path):
     seqs = [r["seq"] for r in store.discovered().select("seq").collect()]
     dupes = {s: c for s, c in Counter(seqs).items() if c > 1}
     assert not dupes, dupes
+
+
+def test_stream_sketch_matches_batch(spark, tmp_path):
+    """The folded streaming CMS/HLL state must equal the batch
+    sketches of the concatenated stream CELL-FOR-CELL (CMS cells are
+    linear, HLL registers max-mergeable), and a checkpoint replay
+    with no new files must leave the fold unchanged."""
+    import os
+
+    from spacetime_crawler4py_spark.operators.sketches import (
+        cms_build,
+        hll_estimate,
+        hll_registers,
+    )
+    from spacetime_crawler4py_spark.streaming.pipeline import (
+        sketch_state,
+        stream_sketch_ingest,
+    )
+
+    items = spark.createDataFrame(
+        [(f"w{i % 37}",) for i in range(500)], "word string"
+    )
+    items.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def run():
+        src = (
+            spark.readStream.schema("word string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "in"))
+        )
+        q = stream_sketch_ingest(spark, src, "word", state, ckpt, w=64, d=3, b=6)
+        q.awaitTermination(180)
+
+    run()
+    cms_s, hll_s = sketch_state(spark, state)
+    full = spark.read.parquet(str(tmp_path / "in"))
+    cms_b = cms_build(full, "word", w=64, d=3)
+    hll_b = hll_registers(full, "word", b=6)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(cms_s) == as_set(cms_b)
+    assert as_set(hll_s) == as_set(hll_b)
+    assert hll_estimate(hll_s, b=6) == hll_estimate(hll_b, b=6)
+    # replay: same checkpoint, no new input → byte-identical fold
+    run()
+    cms_r, hll_r = sketch_state(spark, state)
+    assert as_set(cms_r) == as_set(cms_b)
+    assert as_set(hll_r) == as_set(hll_b)
+
+
+def test_stream_sketch_crash_replay_quarantine(spark, tmp_path):
+    """A dead first attempt's marker-less cms/hll partitions must be
+    quarantined on replay, not summed twice into the fold."""
+    import os
+
+    from spacetime_crawler4py_spark.operators.sketches import cms_build
+    from spacetime_crawler4py_spark.streaming.pipeline import (
+        sketch_state,
+        stream_sketch_ingest,
+    )
+
+    items = spark.createDataFrame([(f"x{i}",) for i in range(100)], "word string")
+    items.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    state = str(tmp_path / "state")
+    # orphan: batch 0 cells written, no marker
+    (
+        cms_build(items, "word", w=64, d=3)
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(state, "cms_cells"))
+    )
+    src = spark.readStream.schema("word string").parquet(str(tmp_path / "in"))
+    q = stream_sketch_ingest(spark, src, "word", state, str(tmp_path / "ckpt"), w=64, d=3, b=6)
+    q.awaitTermination(180)
+    cms_s, _ = sketch_state(spark, state)
+    total = cms_s.groupBy("row").agg(F.sum("cnt").alias("t")).collect()
+    assert all(r["t"] == 100 for r in total)  # counted once, not twice
