@@ -364,20 +364,27 @@ class CrawlEngine:
         # set equals the reference's exactly (no false negatives).
         seen = self.store.seen_hashes()
         if self.use_bloom:
-            sharded = self.seen_filter_kind == "bloom_sharded"
+            # both sharded layouts probe via (url_hash, host_bucket)
+            sharded = self.seen_filter_kind in ("bloom_sharded", "cuckoo")
             if self._bloom is None or self._bloom_age >= self.bloom_refresh:
                 # periodic rebuild re-sizes the filter as the
                 # frontier grows (keeps fpp bounded); kind per
                 # north_rule "bloom/cuckoo" — cuckoo adds O(1)
-                # delete for URL expiry/recrawl semantics;
-                # bloom_sharded is the host_bucket-sharded layout
+                # delete for URL expiry/recrawl semantics and is
+                # host_bucket-sharded so its sequential eviction
+                # chains build/insert shard-parallel in workers;
+                # bloom_sharded is the host_bucket-sharded bitmap
                 # (SCALE.md §3) used when one bitmap won't broadcast
                 if self.seen_filter_kind == "cuckoo":
                     from spacetime_crawler4py_spark.frontier.cuckoo import (
-                        build_cuckoo,
+                        build_sharded_cuckoo,
                     )
 
-                    self._bloom = build_cuckoo(seen)
+                    self._bloom = build_sharded_cuckoo(
+                        self.store.discovered().select(
+                            "url_hash", "host_bucket"
+                        )
+                    )
                 elif sharded:
                     from spacetime_crawler4py_spark.frontier.bloom import (
                         build_sharded_bloom,
@@ -512,19 +519,21 @@ class CrawlEngine:
         filter is built over the delta with the live filter's exact
         parameters and OR-merged driver-side — bitmap traffic is
         bounded by the filter size, not the delta — the same path
-        build_bloom uses for full rebuilds.  The cuckoo filter is the
-        exception: eviction-chain inserts are inherently sequential,
-        so its delta IS collected (the 10^10-scale form shards by
-        host_bucket and inserts shard-parallel in workers —
-        build_cuckoo docstring); an insert failure (load ceiling)
-        discards the filter and forces a freshly-sized rebuild next
-        batch instead of aborting the crawl.
+        build_bloom uses for full rebuilds.  The cuckoo delta is
+        likewise distributed: eviction-chain inserts are sequential
+        only WITHIN a shard, so each touched host_bucket's chain
+        runs in a worker against a copy of its shard table
+        (merge_sharded_cuckoo_delta) — no per-batch url_hash
+        collect; a load-ceiling failure in any shard discards the
+        filter and forces a freshly-sized rebuild next batch instead
+        of aborting the crawl.
         """
+        from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
+
         if self.seen_filter_kind == "bloom_sharded":
             from spacetime_crawler4py_spark.frontier.bloom import (
                 merge_sharded_delta,
             )
-            from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
 
             delta = new_rows.select(
                 "url_hash",
@@ -534,15 +543,22 @@ class CrawlEngine:
             )
             merge_sharded_delta(self._bloom, delta)
         elif self.seen_filter_kind == "cuckoo":
-            import pandas as pd
+            from spacetime_crawler4py_spark.frontier.cuckoo import (
+                merge_sharded_cuckoo_delta,
+            )
 
-            hashes = [r["url_hash"] for r in new_rows.select("url_hash").collect()]
-            try:
-                self._bloom.add_series(pd.Series(hashes))
-            except RuntimeError:
-                # load ceiling hit mid-insert: the partially-updated
-                # filter could yield false negatives → discard and
-                # rebuild from the committed seen set next batch
+            delta = new_rows.select(
+                "url_hash",
+                F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
+                .cast("int")
+                .alias("host_bucket"),
+            )
+            if not merge_sharded_cuckoo_delta(
+                self._bloom, delta, self.spark
+            ):
+                # load ceiling hit in some shard: the live filter is
+                # untouched but under-sized → discard and rebuild
+                # from the committed seen set next batch
                 self._bloom = None
                 self._bloom_age = 0
                 return

@@ -120,22 +120,162 @@ class CuckooFilter:
 def build_cuckoo(
     seen, hash_col: str = "url_hash", headroom: float = 2.0
 ) -> CuckooFilter:
-    """Build from a DataFrame of hex hashes.
+    """Build a SINGLE filter from a DataFrame of hex hashes (test /
+    small-scale surface; the crawl engine uses the sharded layout
+    below, whose inserts run in workers).
 
-    Inserts are inherently sequential (eviction chains), so the
-    build collects the key column — at 10^10 scale you shard by the
-    frontier's host_bucket and build per-shard filters in parallel
-    workers, then broadcast the shard map; the probe side
-    (contains_series) is what must be vectorized, and is.
-
-    ``headroom`` over-sizes the table beyond the build-time seen set:
-    the filter grows incrementally for up to bloom_refresh batches
-    before the next rebuild, and a fast-growing frontier must not hit
-    the load ceiling mid-batch (insert failure would force an
-    immediate rebuild — see CrawlEngine.run_batch's fallback).
+    Inserts are inherently sequential (eviction chains), so this
+    build collects the key column; ``headroom`` over-sizes the table
+    beyond the build-time seen set so the filter absorbs up to
+    bloom_refresh batches of growth before the next rebuild (insert
+    failure at the load ceiling forces an immediate rebuild — see
+    CrawlEngine._sync_seen_filter's fallback).
     """
     rows = [r[hash_col] for r in seen.select(hash_col).collect()]
     cf = CuckooFilter.sized_for(int(max(len(rows), 1024) * headroom))
     if rows:
         cf.add_series(pd.Series(rows))
     return cf
+
+
+# -------------------------------------------- host_bucket sharding
+
+
+class ShardedCuckoo:
+    """host_bucket-sharded cuckoo (the 10^10-scale layout, mirroring
+    bloom.ShardedBloom): one CuckooFilter per frontier host_bucket.
+
+    Eviction-chain inserts are sequential WITHIN a filter but
+    independent ACROSS shards — so both the build and the per-batch
+    delta run as applyInPandas over host_bucket groups: each worker
+    owns its shard's chains, and only (touched-shard count × table
+    size) bytes ever reach the driver, never the delta rows.  The
+    probe side is the same vectorized contains as the sharded bloom.
+    """
+
+    def __init__(self, shards: dict[int, CuckooFilter]):
+        self.shards = shards
+
+    def contains_pairs(self, hashes: pd.Series, buckets: pd.Series) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        b = buckets.to_numpy()
+        for bucket, cf in self.shards.items():
+            mask = b == bucket
+            if mask.any():
+                out[mask] = cf.contains_series(hashes[mask])
+        return out
+
+    def delete_pairs(self, hashes: pd.Series, buckets: pd.Series) -> int:
+        """O(1)-per-key delete (the capability the bloom layout
+        lacks) routed to each key's shard."""
+        removed = 0
+        b = buckets.to_numpy()
+        for bucket in np.unique(b):
+            cf = self.shards.get(int(bucket))
+            if cf is not None:
+                removed += cf.delete_series(hashes[b == bucket])
+        return removed
+
+
+_SHARD_SCHEMA = "bucket int, ok int, n_buckets long, table binary"
+
+
+def _shard_from_row(row) -> CuckooFilter:
+    cf = CuckooFilter(int(row["n_buckets"]))  # already a power of two
+    cf.table = (
+        np.frombuffer(row["table"], dtype=np.uint16)
+        .reshape(-1, _SLOTS)
+        .copy()
+    )
+    return cf
+
+
+def build_sharded_cuckoo(
+    seen,
+    hash_col: str = "url_hash",
+    bucket_col: str = "host_bucket",
+    headroom: float = 2.0,
+) -> ShardedCuckoo:
+    """Distributed sharded build: each host_bucket group builds its
+    filter IN A WORKER (the eviction chains never touch the driver);
+    the driver only assembles the returned (bucket, table-bytes)
+    rows."""
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(pdf[bucket_col].iloc[0])
+        cf = CuckooFilter.sized_for(int(max(len(pdf), 1024) * headroom))
+        cf.add_series(pdf[hash_col].astype(str))
+        return pd.DataFrame(
+            {
+                "bucket": [bkt],
+                "ok": [1],
+                "n_buckets": [cf.n_buckets],
+                "table": [cf.table.tobytes()],
+            }
+        )
+
+    rows = (
+        seen.select(hash_col, bucket_col)
+        .groupBy(bucket_col)
+        .applyInPandas(build_shard, _SHARD_SCHEMA)
+        .collect()
+    )
+    return ShardedCuckoo(
+        {int(r["bucket"]): _shard_from_row(r) for r in rows}
+    )
+
+
+def merge_sharded_cuckoo_delta(
+    sharded: ShardedCuckoo,
+    delta,
+    spark,
+    hash_col: str = "url_hash",
+    bucket_col: str = "host_bucket",
+) -> bool:
+    """Fold a delta DataFrame into a live ShardedCuckoo — the
+    incremental-add twin of build_sharded_cuckoo: each touched
+    shard's insert chain runs in a worker against a COPY of the
+    current shard table (shipped via broadcast), and the driver
+    swaps in the returned tables.  Returns False if any shard hit
+    its load ceiling mid-insert — the partially-updated copy is
+    discarded (the live filter is untouched) and the caller must
+    rebuild freshly sized.  Driver traffic is bounded by
+    (#touched buckets × table size), never the delta row count."""
+    bshards = spark.sparkContext.broadcast(sharded.shards)
+
+    def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(pdf[bucket_col].iloc[0])
+        cur = bshards.value.get(bkt)
+        if cur is None:
+            cf = CuckooFilter.sized_for(int(max(len(pdf), 1024) * 2.0))
+        else:
+            cf = CuckooFilter(cur.n_buckets)
+            cf.table = cur.table.copy()
+        ok = 1
+        try:
+            cf.add_series(pdf[hash_col].astype(str))
+        except RuntimeError:
+            ok = 0
+        return pd.DataFrame(
+            {
+                "bucket": [bkt],
+                "ok": [ok],
+                "n_buckets": [cf.n_buckets],
+                "table": [cf.table.tobytes()],
+            }
+        )
+
+    try:
+        rows = (
+            delta.select(hash_col, bucket_col)
+            .groupBy(bucket_col)
+            .applyInPandas(upd, _SHARD_SCHEMA)
+            .collect()
+        )
+    finally:
+        bshards.unpersist()
+    if any(r["ok"] == 0 for r in rows):
+        return False
+    for r in rows:
+        sharded.shards[int(r["bucket"])] = _shard_from_row(r)
+    return True

@@ -99,3 +99,52 @@ def test_crawl_with_sharded_bloom(spark, corpus80, oracle80, tmp_path):
     )
     eng.run()
     assert eng.seen_set() == set(oracle80.seen.keys())
+
+
+def test_sharded_build_and_delta_match_flat(spark):
+    """build_sharded_cuckoo + worker-side delta inserts must answer
+    membership exactly like per-shard flat filters: no false
+    negatives for any inserted key, deletes routed to the right
+    shard, and the live filter untouched when a delta reports a
+    load-ceiling failure."""
+    import pandas as pd
+    from spacetime_crawler4py_spark.frontier.cuckoo import (
+        build_sharded_cuckoo,
+        merge_sharded_cuckoo_delta,
+    )
+
+    def hexes(keys):
+        import hashlib
+
+        return pd.Series([hashlib.sha256(k.encode()).hexdigest() for k in keys])
+
+    base = [(hexes([f"k{i}"])[0], i % 4) for i in range(200)]
+    seen = spark.createDataFrame(base, "url_hash string, host_bucket int")
+    sc = build_sharded_cuckoo(seen)
+    assert sc.contains_pairs(
+        hexes([f"k{i}" for i in range(200)]),
+        pd.Series([i % 4 for i in range(200)]),
+    ).all()
+    # delta into existing shards + a brand-new bucket
+    delta_rows = [(hexes([f"d{i}"])[0], i % 5) for i in range(50)]
+    delta = spark.createDataFrame(delta_rows, "url_hash string, host_bucket int")
+    assert merge_sharded_cuckoo_delta(sc, delta, spark)
+    assert sc.contains_pairs(
+        hexes([f"d{i}" for i in range(50)]),
+        pd.Series([i % 5 for i in range(50)]),
+    ).all()
+    # delete from a shard
+    assert sc.delete_pairs(hexes(["d0"]), pd.Series([0])) == 1
+    # overfull delta: tiny shard + huge delta → False, live filter intact
+    from spacetime_crawler4py_spark.frontier.cuckoo import CuckooFilter, ShardedCuckoo
+
+    tiny = CuckooFilter(8)
+    tiny.add_series(hexes(["t0"]))
+    sc2 = ShardedCuckoo({0: tiny})
+    big = spark.createDataFrame(
+        [(hexes([f"z{i}"])[0], 0) for i in range(4000)],
+        "url_hash string, host_bucket int",
+    )
+    assert not merge_sharded_cuckoo_delta(sc2, big, spark)
+    assert sc2.shards[0] is tiny  # untouched on failure
+    assert sc2.contains_pairs(hexes(["t0"]), pd.Series([0])).all()
