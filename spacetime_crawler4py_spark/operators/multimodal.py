@@ -82,13 +82,20 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image to HxWx3 uint8 (RGB).
 
-    REAL path: uncompressed 24-bpp BI_RGB BMP, parsed with struct —
-    no codec library needed.  Anything else (JPEG/PNG/...) requires
+    REAL paths: uncompressed 24-bpp BI_RGB BMP (struct parse) and
+    8-bit non-interlaced RGB/RGBA PNG (decode_png — zlib inflate +
+    filter reconstruction, all stdlib).  JPEG and friends need
     codecs absent from this container → NotImplementedError, or the
     deterministic stand-in when ``fake=True``.
     """
     import struct
 
+    if raw[:8] == _PNG_SIG:
+        try:
+            return decode_png(raw)
+        except NotImplementedError:
+            if not fake:
+                raise
     if len(raw) >= 54 and raw[:2] == b"BM":
         off = struct.unpack_from("<I", raw, 10)[0]
         hdr_size = struct.unpack_from("<I", raw, 14)[0]
@@ -113,6 +120,136 @@ def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
     h = hashlib.sha256(raw).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (spec §9, vectorized over int arrays)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWx{3,4} uint8 → 8-bit color-type 2/6 PNG bytes (stdlib
+    zlib only).  ``filter_type`` applies that PNG filter (0-4) to
+    every scanline so fixtures exercise each reconstruction branch
+    of decode_png."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    assert c in (3, 4) and img.dtype == np.uint8 and 0 <= filter_type <= 4
+    ctype = 2 if c == 3 else 6
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    scan = bytearray()
+    prior = np.zeros((w, c), np.int32)
+    for y in range(h):
+        cur = img[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, c), np.int32), cur[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub
+            filt = cur - left
+        elif filter_type == 2:  # Up
+            filt = cur - prior
+        elif filter_type == 3:  # Average
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            ul = np.vstack([np.zeros((1, c), np.int32), prior[:-1]])
+            filt = cur - _paeth(left, prior, ul)
+        scan += bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """8-bit non-interlaced RGB/RGBA PNG → HxWx3 uint8 (alpha
+    dropped) — IHDR/IDAT parse, zlib inflate, and per-scanline
+    filter reconstruction (types 0-4 per the PNG spec §9), all
+    stdlib+numpy.  Palette/16-bit/interlaced PNGs raise
+    NotImplementedError (genuinely need no codec, but are not worth
+    the surface until a corpus needs them)."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos, idat = 8, bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(raw):
+        ln, typ = struct.unpack_from(">I4s", raw, pos)
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB/RGBA PNG decodes here "
+            f"(got depth={depth} color_type={ctype} interlace={interlace})"
+        )
+    c = 3 if ctype == 2 else 4
+    stride = w * c
+    dec = zlib.decompress(bytes(idat))
+    if len(dec) != h * (stride + 1):
+        raise NotImplementedError("truncated PNG scanline data")
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        ft = dec[p]
+        line = np.frombuffer(dec, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — no intra-row dependency, vectorized
+            rec = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth depend on the just-reconstructed
+            # left pixel → sequential in x (bpp-strided)
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prior[x])
+                cc = int(prior[x - c]) if x >= c else 0
+                if ft == 1:
+                    rec[x] = (line[x] + a) % 256
+                elif ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    pp = a + b - cc
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    rec[x] = (line[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(h, w, c)[:, :, :3].copy()
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -317,9 +454,18 @@ def synth_media(
             else:
                 w, h = rng.randint(4, 24), rng.randint(4, 24)
                 img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                raw = encode_bmp(img)
-            mime = {"image": "image/bmp", "audio": "audio/wav",
-                    "video": "video/x-raw-frame"}[kind]
+                # alternate container + filter so the corpus
+                # exercises both real image codecs and every PNG
+                # reconstruction branch
+                if (i // 3) % 2 == 0:
+                    raw = encode_bmp(img)
+                else:
+                    raw = encode_png(img, filter_type=(i // 6) % 5)
+            mime = {
+                "image": "image/png" if raw[:8] == _PNG_SIG else "image/bmp",
+                "audio": "audio/wav",
+                "video": "video/x-raw-frame",
+            }[kind]
         else:
             raw = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
             w, h = rng.randint(16, 64), rng.randint(16, 64)

@@ -465,3 +465,45 @@ def test_video_frame_stream_real(spark):
     # every video contributed exactly its metadata-planned samples
     plan_n = M.frame_sample_plan(media, every_ms=1000).count()
     assert len(rows) == plan_n
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png(filter_type=f) → decode_image must reproduce the
+    source pixels for every PNG filter type (0=None 1=Sub 2=Up
+    3=Average 4=Paeth), for RGB and RGBA (alpha dropped), and the
+    unsupported-shape branches must raise, not mis-decode."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        out = M.decode_image(M.encode_png(img, filter_type=f))
+        assert np.array_equal(out, img), f"filter {f}"
+    rgba = rng.integers(0, 256, size=(6, 9, 4), dtype=np.uint8)
+    out = M.decode_image(M.encode_png(rgba, filter_type=4))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # gradient image (worst case for Sub/Paeth deltas crossing 0/255)
+    grad = np.arange(10 * 16 * 3, dtype=np.uint64).reshape(10, 16, 3) % 256
+    grad = grad.astype(np.uint8)
+    for f in (1, 3, 4):
+        assert np.array_equal(M.decode_image(M.encode_png(grad, f)), grad)
+    # truncated payload must raise cleanly
+    png = M.encode_png(img)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(png[:20])
+
+
+def test_featurize_real_includes_png(spark):
+    """synth_media(real=True) now emits PNG images alongside BMP;
+    featurize(fake=False) must decode BOTH real containers and match
+    the local decode bit-for-bit."""
+    media = M.synth_media(spark, n=36, seed=3, real=True)
+    local = {r["media_id"]: (bytes(r["media"]), r["meta"]["mime"])
+             for r in media.collect()}
+    mimes = {m for _, m in local.values()}
+    assert "image/png" in mimes and "image/bmp" in mimes
+    rows = M.featurize(media, dim=16, fake=False).collect()
+    assert len(rows) == 36
+    png_ids = [i for i, (_, m) in local.items() if m == "image/png"]
+    row = next(r for r in rows if r["media_id"] == png_ids[0])
+    exp = M.image_features(M.decode_image(local[png_ids[0]][0]), 16)
+    # features cross Arrow as float32 — compare at float32 precision
+    assert np.allclose(row["features"], exp, atol=1e-5)
