@@ -33,6 +33,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 
+def hex_spans_u64(
+    s: pd.Series, spans: list[tuple[int, int]]
+) -> list[np.ndarray]:
+    """Vectorized hex→uint64 for fixed-width slices of equal-length
+    hex keys: ONE join over the series, chars → nibbles →
+    positional fold, all numpy — no per-row Python int() (the
+    former ``.apply(int, base=16)`` was the hottest line of every
+    probe batch).  Accepts upper/lower hex; span width ≤ 16."""
+    arr = np.frombuffer("".join(s).encode("ascii"), np.uint8).reshape(
+        len(s), -1
+    )
+    outs = []
+    for start, stop in spans:
+        sub = arr[:, start:stop]
+        # branch-free ASCII-hex → nibble: (c & 15) + 9·(c is a letter)
+        nib = ((sub & 15) + ((sub >> 6) & 1) * 9).astype(np.uint64)
+        out = np.zeros(arr.shape[0], np.uint64)
+        for j in range(stop - start):
+            out = out * np.uint64(16) + nib[:, j]
+        outs.append(out)
+    return outs
+
+
+def hex_slice_u64(s: pd.Series, start: int, stop: int) -> np.ndarray:
+    return hex_spans_u64(s, [(start, stop)])[0]
+
+
 class BloomFilter:
     def __init__(self, n_bits: int, k: int, bits: np.ndarray | None = None):
         self.n_bits = n_bits
@@ -46,23 +73,33 @@ class BloomFilter:
         k = max(1, round(m / n_items * math.log(2)))
         return BloomFilter(m, k)
 
-    def _indexes(self, hex_hashes: pd.Series) -> np.ndarray:
-        """(len, k) bit indexes from sha256-hex keys, vectorized."""
-        h1 = hex_hashes.str.slice(0, 15).apply(int, base=16).to_numpy(dtype=np.uint64)
-        h2 = hex_hashes.str.slice(15, 30).apply(int, base=16).to_numpy(dtype=np.uint64)
+    def _indexes_h(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         ks = np.arange(self.k, dtype=np.uint64)
         return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+
+    def _indexes(self, hex_hashes: pd.Series) -> np.ndarray:
+        """(len, k) bit indexes from sha256-hex keys, vectorized."""
+        h1, h2 = hex_spans_u64(hex_hashes, [(0, 15), (15, 30)])
+        return self._indexes_h(h1, h2)
 
     def add_series(self, hex_hashes: pd.Series) -> None:
         idx = self._indexes(hex_hashes).ravel()
         np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
 
+    def contains_h(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Probe with pre-parsed key halves — lets a sharded layout
+        parse each batch ONCE and slice integer arrays per shard."""
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indexes_h(h1, h2)
+        got = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return got.all(axis=1)
+
     def contains_series(self, hex_hashes: pd.Series) -> np.ndarray:
         if len(hex_hashes) == 0:
             return np.zeros(0, dtype=bool)
-        idx = self._indexes(hex_hashes)
-        got = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-        return got.all(axis=1)
+        h1, h2 = hex_spans_u64(hex_hashes, [(0, 15), (15, 30)])
+        return self.contains_h(h1, h2)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.n_bits == other.n_bits and self.k == other.k
@@ -84,11 +121,18 @@ class ShardedBloom:
 
     def contains_pairs(self, hashes: pd.Series, buckets: pd.Series) -> np.ndarray:
         out = np.zeros(len(hashes), dtype=bool)
+        if not len(hashes):
+            return out
+        # parse the hex keys ONCE for the whole batch, then probe
+        # only the buckets actually present — per-shard work is pure
+        # integer-array slicing, no per-subset pandas string ops
+        h1, h2 = hex_spans_u64(hashes, [(0, 15), (15, 30)])
         b = buckets.to_numpy()
-        for bucket, bf in self.shards.items():
-            mask = b == bucket
-            if mask.any():
-                out[mask] = bf.contains_series(hashes[mask])
+        for bucket in np.unique(b):
+            bf = self.shards.get(int(bucket))
+            if bf is not None:
+                mask = b == bucket
+                out[mask] = bf.contains_h(h1[mask], h2[mask])
         return out
 
     def add_pairs(self, hashes: pd.Series, buckets: pd.Series) -> None:

@@ -42,12 +42,10 @@ class CuckooFilter:
     # ---- key → (fingerprint, i1, i2), all from the sha256 hex key
 
     def _parts_series(self, hex_hashes: pd.Series):
-        h1 = hex_hashes.str.slice(0, 15).apply(int, base=16).to_numpy(dtype=np.uint64)
-        fp = (
-            hex_hashes.str.slice(15, 19).apply(int, base=16).to_numpy(dtype=np.uint64)
-            % 65535
-            + 1
-        ).astype(np.uint16)
+        from spacetime_crawler4py_spark.frontier.bloom import hex_spans_u64
+
+        h1, fp0 = hex_spans_u64(hex_hashes, [(0, 15), (15, 19)])
+        fp = (fp0 % 65535 + 1).astype(np.uint16)
         i1 = (h1 & self._mask).astype(np.uint64)
         i2 = (i1 ^ ((fp.astype(np.uint64) * _FP_MIX) & self._mask)) & self._mask
         return fp, i1, i2
