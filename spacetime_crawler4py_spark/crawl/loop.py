@@ -120,6 +120,7 @@ class CrawlEngine:
         )
         self._bloom = None
         self._bloom_age = 0
+        self._bloom_covered: list[int] = []
         # driver-tracked seq high-water mark: avoids a full scan of
         # the discovered log per batch (initialized lazily from the
         # store on first use, then maintained incrementally)
@@ -357,12 +358,19 @@ class CrawlEngine:
         )
 
         # ---- seen-set dedup (F8/J1): bloom fast path + exact anti-join.
-        # Invariant: the bloom always holds EVERY discovered hash
-        # (it is updated synchronously with each commit below), so
-        # "definitely new" rows skip the anti-join entirely and only
-        # bloom false-positives pay the join probe — the final seen
-        # set equals the reference's exactly (no false negatives).
-        seen = self.store.seen_hashes()
+        # Invariant: the filter holds every hash of its COVERED
+        # committed-batch snapshot; hashes discovered after the last
+        # (re)build live in the partition-pruned ``recent`` slice of
+        # the log, which "definitely new" rows anti-join instead of
+        # the full seen set.  This replaces the former per-batch
+        # filter-delta Spark job (collect + driver merge every batch)
+        # with a small broadcast-ish join INSIDE the existing dedup
+        # job — the filter is only rebuilt on the refresh cadence,
+        # the classic bloom+delta-table layout.  The final seen set
+        # still equals the reference's exactly (anti-joins are the
+        # source of truth; the filter only prunes probes).
+        disc = self.store.discovered()
+        seen = disc.select("url_hash")
         if self.use_bloom:
             # both sharded layouts probe via (url_hash, host_bucket)
             sharded = self.seen_filter_kind in ("bloom_sharded", "cuckoo")
@@ -396,6 +404,10 @@ class CrawlEngine:
                 else:
                     self._bloom = build_bloom(seen)
                 self._bloom_age = 0
+                # snapshot which committed batches the filter covers;
+                # later discoveries are handled by the pruned
+                # ``recent`` anti-join until the next rebuild
+                self._bloom_covered = self.store.committed_batches()
             if sharded:
                 from spacetime_crawler4py_spark.frontier.bloom import (
                     with_might_contain_sharded,
@@ -414,7 +426,21 @@ class CrawlEngine:
                 probed = with_might_contain(candidates, self._bloom, self.spark)
             fresh = probed.where(~F.col("might_be_seen")).drop("might_be_seen")
             maybe = probed.where(F.col("might_be_seen")).drop("might_be_seen")
+            # "definitely new" per the filter can still collide with
+            # hashes discovered AFTER the filter's covered snapshot —
+            # anti-join only that partition-pruned slice of the log
+            committed_now = self.store.committed_batches()
+            if committed_now != self._bloom_covered:
+                from spacetime_crawler4py_spark.frontier.store import (
+                    FrontierStore,
+                )
+
+                recent = disc.where(
+                    ~FrontierStore.membership_filter(self._bloom_covered)
+                ).select("url_hash")
+                fresh = fresh.join(recent, "url_hash", "left_anti")
             new = fresh.unionByName(maybe.join(seen, "url_hash", "left_anti"))
+            self._bloom_age += 1
         else:
             new = candidates.join(seen, "url_hash", "left_anti")
 
@@ -456,8 +482,6 @@ class CrawlEngine:
             )
             self._max_seq = base + n_new
             self.store.append_discovered(new_rows)
-            if self.use_bloom and self._bloom is not None:
-                self._sync_seen_filter(new_rows)
             _seq_interm.unpersist()
         new.unpersist()
 
@@ -511,65 +535,6 @@ class CrawlEngine:
         batch.unpersist()
         return meta
 
-    # ------------------------------------------------------------------
-
-    def _sync_seen_filter(self, new_rows: DataFrame) -> None:
-        """Fold the batch's newly-discovered hashes into the broadcast
-        seen filter WITHOUT collecting them: a distributed partial
-        filter is built over the delta with the live filter's exact
-        parameters and OR-merged driver-side — bitmap traffic is
-        bounded by the filter size, not the delta — the same path
-        build_bloom uses for full rebuilds.  The cuckoo delta is
-        likewise distributed: eviction-chain inserts are sequential
-        only WITHIN a shard, so each touched host_bucket's chain
-        runs in a worker against a copy of its shard table
-        (merge_sharded_cuckoo_delta) — no per-batch url_hash
-        collect; a load-ceiling failure in any shard discards the
-        filter and forces a freshly-sized rebuild next batch instead
-        of aborting the crawl.
-        """
-        from spacetime_crawler4py_spark.frontier.store import N_HOST_BUCKETS
-
-        if self.seen_filter_kind == "bloom_sharded":
-            from spacetime_crawler4py_spark.frontier.bloom import (
-                merge_sharded_delta,
-            )
-
-            delta = new_rows.select(
-                "url_hash",
-                F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
-                .cast("int")
-                .alias("host_bucket"),
-            )
-            merge_sharded_delta(self._bloom, delta)
-        elif self.seen_filter_kind == "cuckoo":
-            from spacetime_crawler4py_spark.frontier.cuckoo import (
-                merge_sharded_cuckoo_delta,
-            )
-
-            delta = new_rows.select(
-                "url_hash",
-                F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))
-                .cast("int")
-                .alias("host_bucket"),
-            )
-            if not merge_sharded_cuckoo_delta(
-                self._bloom, delta, self.spark
-            ):
-                # load ceiling hit in some shard: the live filter is
-                # untouched but under-sized → discard and rebuild
-                # from the committed seen set next batch
-                self._bloom = None
-                self._bloom_age = 0
-                return
-        else:
-            delta = build_bloom(
-                new_rows.select("url_hash"),
-                n_bits=self._bloom.n_bits,
-                k=self._bloom.k,
-            )
-            self._bloom = self._bloom.merge(delta)
-        self._bloom_age += 1
 
     # ------------------------------------------------------------------
 

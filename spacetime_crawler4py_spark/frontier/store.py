@@ -140,23 +140,21 @@ class FrontierStore:
             json.dump({"batch_id": batch_id, "ts": time.time(), **meta}, f)
         os.replace(tmp, path)
 
-    def committed_filter(self) -> F.Column:
-        """Column predicate: batch_id is a MEMBER of the committed set.
+    @staticmethod
+    def membership_filter(ids: list[int]) -> F.Column:
+        """Column predicate: batch_id is a MEMBER of ``ids``.
 
-        Membership, not ``<= max``: the streaming namespace commits
-        high ids into the same store, and a crashed attempt may leave
-        data under an id below a later commit.  Committed ids are
-        contiguous runs (one per batch, per namespace) so the
-        predicate compresses to a handful of BETWEENs — O(crashes),
-        not O(batches) — which Catalyst can push into the parquet
-        partition pruning on ``batch_id=``-partitioned logs.
+        Sorted ids compress to contiguous runs (one per batch, per
+        namespace) so the predicate is a handful of BETWEENs —
+        O(gaps), not O(batches) — which Catalyst can push into the
+        parquet partition pruning on ``batch_id=``-partitioned logs.
         """
-        committed = self.committed_batches()
-        if not committed:
+        ids = sorted(ids)
+        if not ids:
             return F.lit(False)
         ranges: list[tuple[int, int]] = []
-        lo = prev = committed[0]
-        for i in committed[1:]:
+        lo = prev = ids[0]
+        for i in ids[1:]:
             if i == prev + 1:
                 prev = i
                 continue
@@ -167,6 +165,15 @@ class FrontierStore:
         for a, b in ranges[1:]:
             cond = cond | F.col("batch_id").between(a, b)
         return cond
+
+    def committed_filter(self) -> F.Column:
+        """Column predicate: batch_id is a MEMBER of the committed set.
+
+        Membership, not ``<= max``: the streaming namespace commits
+        high ids into the same store, and a crashed attempt may leave
+        data under an id below a later commit.
+        """
+        return self.membership_filter(self.committed_batches())
 
     def _read(self, name: str, schema: StructType) -> DataFrame:
         path = os.path.join(self.dir, name)
