@@ -255,7 +255,21 @@ def minhash_signatures(
             ),
         ),
     )
-    return df.where(F.size(shingles) > 0).select(
+    # Empty-doc guard: equivalent to size(shingles) > 0 but CHEAP —
+    # a doc yields >=1 shingle iff it has >= n words.  The guard
+    # matters for the plan, not just the rows: Catalyst pushes
+    # deterministic filters below the ensure_min_partitions
+    # round-robin exchange, so whatever the predicate computes runs
+    # on the UNSPREAD scan partitions.  Filtering on size(shingles)
+    # rebuilt the whole shingle array (split + slice + concat_ws +
+    # array_distinct per doc) single-core before the spread — a
+    # 1-task stage that dominated signature wall-clock; the word
+    # count is one split+filter, leaving the heavy fold above the
+    # exchange where it runs at session parallelism.
+    n_words = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    )
+    return df.where(n_words >= n).select(
         F.col(id_col).alias("id"), sig.alias("sig")
     )
 

@@ -221,3 +221,27 @@ def test_emb_neardup_catalog_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan  # candidates come from the bucket equi-join
+
+
+def test_minhash_heavy_work_stays_above_the_spread(spark):
+    """The empty-doc guard is the only thing Catalyst may push below
+    the ensure_min_partitions round-robin exchange, and it must stay
+    CHEAP: the size(shingles)>0 form of the guard rebuilt the whole
+    shingle array (slice + concat_ws + array_distinct per doc) on
+    the unspread scan partition — a single-task stage that dominated
+    signature wall-clock on one-row-group parquet inputs.  Pin that
+    everything below the exchange is the one split-based word count
+    (no shingle construction), and the k-way fold sits above it."""
+    from spacetime_crawler4py_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # tree-ordered string: operators printed top-down, so the text
+    # after the exchange line is exactly what executes below it
+    # (explain("formatted") would append node DETAILS after the tree)
+    plan = (
+        minhash_signatures(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" in plan
+    below = plan.split("RoundRobinPartitioning")[1]
+    assert "concat_ws" not in below
+    assert "array_distinct" not in below
