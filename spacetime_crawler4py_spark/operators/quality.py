@@ -1,0 +1,201 @@
+"""Corpus-quality operators for training-data pipelines: repetition
+metrics and benchmark decontamination (engine extension beyond the
+reference, like operators/dedup.py; the reference's only quality
+gates are the F6/F7 content checks in scraper.py).
+
+Both follow the family's scale shape (per-doc JVM expressions →
+bounded-key equi-joins; no cross joins, no driver collects):
+
+- repetition_metrics    Gopher-style repeated-content signals (Rae
+                        et al. 2021 §A1.1: duplicate line / word
+                        fractions, fraction of characters inside the
+                        most frequent word n-gram).  Line/word
+                        fractions are pure per-row Column math; the
+                        top-n-gram pass is one explode + partial-agg
+                        groupBy keyed by (doc, gram) then a per-doc
+                        window over the already-aggregated counts —
+                        group sizes are bounded by document length,
+                        so no key skews beyond the longest doc.
+- contamination_flags   benchmark n-gram overlap (the GPT-3 appendix
+                        C / PaLM decontamination recipe): a training
+                        doc is contaminated when it shares any word
+                        n-gram with the evaluation benchmark.  The
+                        benchmark's distinct gram-hash set is tiny
+                        relative to the corpus (13-grams of eval
+                        sets: ~10⁶-10⁷ rows) → broadcast equi-join
+                        against the corpus's exploded distinct grams;
+                        only (doc_id, hit) pairs reach the shuffle.
+- decontaminate         drop flagged docs via left_anti on doc id.
+
+Gram keys are the 60-bit md5-derived ints of operators/dedup.py
+(shingle_key60) so the DuckDB oracle twin joins on the SAME key —
+parity is exact by construction, and the join shuffles 8-byte longs
+instead of 13-word strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+from spacetime_crawler4py_spark.operators.dedup import shingle_key60
+
+
+def word_ngrams(text: Column, n: int, distinct: bool = False) -> Column:
+    """Word n-grams as strings, JVM-side; NON-distinct by default
+    (repetition counting needs multiplicity — operators that need
+    the set form pass distinct=True, matching dedup.word_shingles).
+    Docs with fewer than ``n`` words yield the empty array (the
+    k<=0 guard avoids ANSI-mode descending-sequence errors)."""
+    words = tokens_ws(text)
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def dup_word_frac(text: Column) -> Column:
+    """1 - distinct_words/words (0.0 for empty/null docs)."""
+    ws = tokens_ws(text)
+    return F.when(
+        F.size(ws) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(text: Column) -> Column:
+    """1 - distinct_lines/lines over non-blank '\\n' lines (Gopher's
+    duplicate-line fraction; 0.0 for single-line or empty docs)."""
+    ls = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    return F.when(
+        F.size(ls) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(doc_id, dup_word_frac, dup_line_frac, top_ngram,
+    top_ngram_char_frac): per-doc repeated-content signals.
+
+    top_ngram is the doc's most frequent word ``n``-gram (ties break
+    to the lexicographically smallest, deterministically — the same
+    order the SQL oracle twin encodes); top_ngram_char_frac is the
+    fraction of the doc's characters covered by that gram's
+    occurrences (count · len(gram) / len(text)), the Gopher
+    "fraction of characters in most common n-gram" signal.
+
+    Docs with fewer than ``n`` words report ('' , 0.0).
+    """
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    t = F.col(text_col)
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.length(t), F.lit(1)).alias("n_chars"),
+        F.round(dup_word_frac(t), 4).alias("dup_word_frac"),
+        F.round(dup_line_frac(t), 4).alias("dup_line_frac"),
+        word_ngrams(t, n).alias("grams"),
+    )
+    counts = (
+        base.select("id", "n_chars", F.explode("grams").alias("g"))
+        .groupBy("id", "n_chars", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.col("g").alias("top_ngram"),
+            F.round(
+                F.col("cnt") * F.length("g") / F.col("n_chars"), 4
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+    return (
+        base.drop("grams", "n_chars")
+        .join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "dup_word_frac",
+            "dup_line_frac",
+            F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+            F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+                "top_ngram_char_frac"
+            ),
+        )
+    )
+
+
+def _gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, h): 60-bit hashes of each doc's DISTINCT word n-grams."""
+    from spacetime_crawler4py_spark.operators.ids import ensure_min_partitions
+
+    return ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n, distinct=True)).alias("g"),
+    ).select("id", shingle_key60(F.col("g")).alias("h"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """(doc_id, n_hits) for every doc sharing ≥1 word ``n``-gram with
+    the benchmark corpus — the GPT-3/PaLM n-gram decontamination
+    test. n_hits = how many of the doc's DISTINCT grams appear in
+    the benchmark (a leakage-severity signal, not just a flag).
+
+    The benchmark side collapses to a distinct 8-byte hash set and is
+    broadcast (use_broadcast=False falls back to a shuffled equi-join
+    for benchmark sets too large to broadcast — rare: eval suites are
+    ≪ the training corpus by construction).  The corpus explode is
+    the dominant cost and is embarrassingly parallel; the join output
+    (hits only) is what shuffles to the per-doc count.
+    """
+    bgrams = (
+        _gram_hashes(bench, text_col, id_col, n).select("h").distinct()
+    )
+    if use_broadcast:
+        bgrams = F.broadcast(bgrams)
+    return (
+        _gram_hashes(docs, text_col, id_col, n)
+        .join(bgrams, "h")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Training corpus minus benchmark-contaminated docs (left_anti
+    on the flagged ids; schema of ``docs`` preserved)."""
+    flagged = contamination_flags(
+        docs, bench, text_col, id_col, n, use_broadcast
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

@@ -888,6 +888,87 @@ def dedup_minhash(spark, sf_dir):
 
 
 @_q(
+    "tq_repetition",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), base AS (
+      SELECT doc_id, greatest(length(text), 1) AS n_chars,
+             len(ws) AS nw, len(list_distinct(ws)) AS ndw
+      FROM ws_t
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+      FROM ws_t
+    ), cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ), top AS (
+      SELECT doc_id, g, c FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM cnt) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           ROUND(CASE WHEN nw > 0 THEN 1.0 - ndw / nw ELSE 0.0 END, 4)
+             AS dup_word_frac,
+           COALESCE(t.g, '') AS top_ngram,
+           ROUND(COALESCE(t.c * length(t.g) / b.n_chars, 0.0), 4)
+             AS top_ngram_char_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def tq_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction + fraction of characters inside the
+    most frequent word bigram. One explode + partial-agg groupBy
+    keyed (doc, gram), per-doc window over aggregated counts."""
+    from spacetime_crawler4py_spark.operators.quality import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_metrics(d, n=2).select(
+        "doc_id", "dup_word_frac", "top_ngram", "top_ngram_char_frac"
+    )
+
+
+@_q(
+    "decon_flagged",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), g_t AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 7, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g
+      FROM ws_t
+    ), h_t AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g_t
+    ), b_t AS (
+      SELECT DISTINCT h FROM h_t WHERE doc_id % 50 = 0
+    )
+    SELECT h_t.doc_id, COUNT(*) AS n_hits
+    FROM h_t JOIN b_t USING (h)
+    GROUP BY h_t.doc_id
+    """,
+)
+def decon_flagged(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C recipe): docs
+    sharing any word 8-gram with the 'benchmark' slice (every 50th
+    doc stands in for an eval set; real deployments pass the actual
+    benchmark table). Benchmark gram-hash set broadcast; n_hits =
+    distinct overlapping grams (leakage severity)."""
+    from spacetime_crawler4py_spark.operators.quality import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return contamination_flags(d, bench, n=8)
+
+
+@_q(
     "sk_cms_word_counts",
     f"""
     WITH ws AS (

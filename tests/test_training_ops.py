@@ -507,3 +507,78 @@ def test_featurize_real_includes_png(spark):
     exp = M.image_features(M.decode_image(local[png_ids[0]][0]), 16)
     # features cross Arrow as float32 — compare at float32 precision
     assert np.allclose(row["features"], exp, atol=1e-5)
+
+
+def test_repetition_metrics(spark):
+    """Gopher repetition signals on handcrafted docs: the repeated
+    phrase dominates top_ngram_char_frac; an all-unique doc scores
+    0 duplicate-word fraction; short/empty/null docs degrade to the
+    ('', 0.0) sentinel; duplicate-line fraction counts '\\n' lines."""
+    from spacetime_crawler4py_spark.operators.quality import repetition_metrics
+
+    rows = [
+        (1, "spam spam spam spam spam"),          # one word repeated
+        (2, "all words here are unique tokens"),  # no repetition
+        (3, "x"),                                 # < n words -> sentinel
+        (4, ""),                                  # empty
+        (5, None),                                # null
+        (6, "a b\na b\nc d"),                     # dup line
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_metrics(d, n=2).collect()}
+    assert len(out) == 6
+    r1 = out[1]
+    assert r1["dup_word_frac"] == 0.8          # 1 - 1/5
+    assert r1["top_ngram"] == "spam spam"
+    # 4 occurrences of a 9-char bigram over 24 chars
+    assert r1["top_ngram_char_frac"] == round(4 * 9 / 24, 4)
+    assert out[2]["dup_word_frac"] == 0.0
+    for i in (3, 4, 5):
+        assert out[i]["top_ngram"] == ""
+        assert out[i]["top_ngram_char_frac"] == 0.0
+    assert out[6]["dup_line_frac"] == round(1 - 2 / 3, 4)
+    # tie-break determinism: equal-count bigrams resolve to the
+    # lexicographically smallest
+    t = spark.createDataFrame([(7, "c a c a c")], ["doc_id", "text"])
+    top = repetition_metrics(t, n=2).collect()[0]
+    assert top["top_ngram"] == "a c"  # "a c" x2 ties "c a" x2 -> lexical min
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    """GPT-3-style n-gram decontamination: exact hit counting on a
+    planted-overlap corpus, left_anti removal, and the broadcast
+    plan shape for the benchmark side."""
+    from spacetime_crawler4py_spark.operators.quality import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "quick brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence today"),
+            (2, "completely unrelated text with no benchmark overlap at all"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (4, "too short"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    flags = {r["doc_id"]: r["n_hits"]
+             for r in contamination_flags(docs, bench, n=5).collect()}
+    # doc 3 shares all 5 of the benchmark's distinct 5-grams; doc 1
+    # shares the 2 grams fully inside its copy of the phrase
+    assert flags[3] == 5
+    assert flags[1] == 2
+    assert set(flags) == {1, 3}
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()}
+    assert kept == {2, 4, 5}
+    plan = (
+        contamination_flags(docs, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
