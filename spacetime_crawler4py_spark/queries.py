@@ -934,6 +934,111 @@ def tq_repetition(spark, sf_dir):
     )
 
 
+# deterministic-sampling oracles share the md5-unit construction:
+# u(id) = ('0x' || substr(md5(salt:id), 1, 15))::BIGINT / 2^60.
+# Interval bounds are accumulated in PYTHON floats here and pasted
+# into both engines via repr() so the <-comparisons are bit-equal
+# (0.8 + 0.1 != 0.9 in IEEE doubles; both sides must use the
+# accumulated value).
+_SPLIT_B1 = 0.8
+_SPLIT_B2 = _SPLIT_B1 + 0.1
+_U60 = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+@_q(
+    "samp_split_counts",
+    f"""
+    WITH u AS (
+      SELECT lang,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+               / {_U60} AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < {_SPLIT_B1!r} THEN 'train'
+                WHEN u < {_SPLIT_B2!r} THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n
+    FROM u GROUP BY 1, 2
+    """,
+)
+def samp_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: a row's label is
+    a pure function of md5('split:' || doc_id) — reproducible under
+    any partitioning/retry, and append-stable (new rows never move
+    old rows across splits)."""
+    from spacetime_crawler4py_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "samp_stratified_ids",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+               / {_U60} AS u
+      FROM documents)
+    WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                        WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+)
+def samp_stratified_ids(spark, sf_dir):
+    """Deterministic sampleBy twin: keep iff u(id) < rate[lang];
+    strata without a rate drop (matching DataFrame.sampleBy), but
+    unlike sampleBy the outcome is partitioning-independent."""
+    from spacetime_crawler4py_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, {"en": 0.5, "de": 1.0, "zh": 0.1}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "samp_mixture_counts",
+    f"""
+    WITH cnt AS (
+      SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY lang
+    ), lim AS (
+      SELECT MIN(n / (1.0 / 5.0)) AS l FROM cnt
+    ), fr AS (
+      SELECT s, least(1.0, (1.0 / 5.0) * (SELECT l FROM lim) / n) AS f
+      FROM cnt
+    ), u AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT
+               / {_U60} AS u
+      FROM documents
+    )
+    SELECT u.lang, COUNT(*) AS n_kept
+    FROM u JOIN fr ON fr.s = u.lang
+    WHERE u.u < fr.f
+    GROUP BY u.lang
+    """,
+)
+def samp_mixture_counts(spark, sf_dir):
+    """Corpus mixing toward a uniform 5-way language target: the
+    most under-represented stratum keeps rate 1.0, the rest
+    down-sample proportionally (no up-sampling). The oracle replays
+    the rate derivation with the same double arithmetic, so kept
+    counts match exactly."""
+    from spacetime_crawler4py_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    target = {lg: 1.0 for lg in ["de", "en", "es", "fr", "zh"]}
+    return (
+        mixture_sample(d, target, strata_col="lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
 @_q(
     "decon_flagged",
     r"""

@@ -582,3 +582,52 @@ def test_contamination_flags_and_decontaminate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sampling_deterministic_and_append_stable(spark):
+    """The properties that justify hash-based over RNG-based
+    sampling: identical output under different partitionings, and
+    append-stability (adding rows never relabels old rows)."""
+    from spacetime_crawler4py_spark.operators.sampling import (
+        hash_split,
+        mixture_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    d1 = spark.createDataFrame(rows, ["doc_id", "source"])
+    d2 = d1.repartition(7, "source")  # different physical layout
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(d1, w).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(d2, w).collect()}
+    assert s1 == s2
+    assert set(s1.values()) == {"train", "val", "test"}
+    # coverage: every row labeled, proportions near the weights
+    assert len(s1) == 300
+    assert 180 < sum(v == "train" for v in s1.values()) < 290
+
+    # append-stability: splitting a superset leaves old labels alone
+    d3 = spark.createDataFrame(
+        rows + [(i, "new") for i in range(1000, 1100)], ["doc_id", "source"]
+    )
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(d3, w).collect()}
+    assert {k: s3[k] for k in s1} == s1
+
+    frac = {"s0": 1.0, "s1": 0.3}  # s2 absent -> dropped
+    k1 = {r["doc_id"] for r in stratified_sample(d1, frac).collect()}
+    k2 = {r["doc_id"] for r in stratified_sample(d2, frac).collect()}
+    assert k1 == k2
+    assert all(i % 3 != 2 for i in k1)
+    assert {i for i in range(300) if i % 3 == 0} <= k1  # rate 1.0 keeps all
+
+    # mixture: no stratum up-samples; the limiting stratum stays whole
+    skewed = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(500)],
+        ["doc_id", "source"],
+    )
+    mixed = mixture_sample(skewed, {"big": 1.0, "small": 1.0})
+    by = {r["source"]: r["n"] for r in
+          mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 100           # limiting stratum kept whole
+    assert by["big"] <= 120             # ~100 expected, never > original
