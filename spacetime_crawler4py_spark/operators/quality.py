@@ -139,6 +139,77 @@ def repetition_metrics(
     )
 
 
+def c4_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    mean_word_len_lo: float = 3.0,
+    mean_word_len_hi: float = 10.0,
+    max_dup_word_frac: float = 0.9,
+    max_symbol_ratio: float = 0.1,
+    stopword_list: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc pass/fail for the standard cheap webtext filter rules
+    (C4, Raffel et al. 2020 §2.2; Gopher, Rae et al. 2021 §A1.1):
+
+      ok_words      min_words <= word count <= max_words
+      ok_word_len   mean word length within [lo, hi]
+      ok_symbols    symbol chars ({}#<>[]\\|) / chars <= ratio
+      ok_stopwords  contains >= 2 distinct English function words
+                    (C4's 'contains at least one of the ...' gate;
+                    non-English text fails it by design — run after
+                    language routing or override stopword_list)
+      ok_repetition duplicate-word fraction below the cap
+      keep          AND of all rules
+
+    All rules are pure per-row Column math (one projection, no
+    shuffle, whole-stage codegen) — the shape a 100 TB pre-filter
+    must have: it runs inside the scan stage and cuts the corpus
+    before any expensive operator sees it.
+    """
+    from spacetime_crawler4py_spark.functions.text_quality import (
+        mean_word_len,
+    )
+
+    # null-safe: a null text evaluates every rule as if empty (all
+    # content rules false, keep false) instead of null-poisoning the
+    # AND chain
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # Gopher §A1.1's exact function-word gate list
+    stops = stopword_list or [
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ]
+    ws = tokens_ws(t)
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(ws), stop_arr)
+    )
+    sym_ratio = F.length(
+        F.regexp_replace(t, r"[^{}#<>\[\]\\|]", "")
+    ) / F.greatest(F.length(t), F.lit(1))
+    flags = df.select(
+        F.col(id_col),
+        (n_words.between(min_words, max_words)).alias("ok_words"),
+        mean_word_len(t).between(mean_word_len_lo, mean_word_len_hi).alias(
+            "ok_word_len"
+        ),
+        (sym_ratio <= max_symbol_ratio).alias("ok_symbols"),
+        (n_stop_distinct >= 2).alias("ok_stopwords"),
+        (dup_word_frac(t) <= max_dup_word_frac).alias("ok_repetition"),
+    )
+    keep = (
+        F.col("ok_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition")
+    )
+    return flags.withColumn("keep", keep)
+
+
 def _gram_hashes(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:

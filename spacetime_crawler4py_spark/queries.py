@@ -1040,6 +1040,137 @@ def samp_mixture_counts(spark, sf_dir):
 
 
 @_q(
+    "tq_c4_filters",
+    r"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), feat AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM t
+    ), m AS (
+      SELECT doc_id, text, ws, len(ws) AS nw,
+             list_sum(list_transform(ws, w -> length(w)))
+               / greatest(len(ws), 1) AS mwl,
+             length(regexp_replace(text, '[^{}#<>\[\]\\|]', '', 'g'))
+               / greatest(length(text), 1) AS sym,
+             len(list_intersect(list_distinct(ws), ['the','a'])) AS nstop,
+             CASE WHEN len(ws) > 0
+                  THEN 1.0 - len(list_distinct(ws)) / len(ws)
+                  ELSE 0.0 END AS dupf
+      FROM feat
+    )
+    SELECT doc_id,
+           nw BETWEEN 30 AND 100000 AS ok_words,
+           mwl BETWEEN 3.0 AND 10.0 AS ok_word_len,
+           sym <= 0.1 AS ok_symbols,
+           nstop >= 2 AS ok_stopwords,
+           dupf <= 0.9 AS ok_repetition,
+           (nw BETWEEN 30 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+             AND sym <= 0.1 AND nstop >= 2 AND dupf <= 0.9 AS keep
+    FROM m
+    """,
+)
+def tq_c4_filters(spark, sf_dir):
+    """C4/Gopher cheap filter rules as one narrow projection (no
+    shuffle): word-count band, mean-word-length band, symbol ratio,
+    function-word gate, duplicate-word cap, and their AND.  The
+    function-word list is tuned to the corpus vocabulary (the
+    synthetic generator emits only 'the'/'a' as English function
+    words); real deployments keep the Gopher default."""
+    from spacetime_crawler4py_spark.operators.quality import c4_gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_gopher_flags(d, stopword_list=["the", "a"])
+
+
+@_q(
+    "corpus_build_counts",
+    f"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), d1 AS (
+      SELECT d.* FROM documents d JOIN reps USING (doc_id)
+    ), feat AS (
+      SELECT doc_id, lang, coalesce(text, '') AS text,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM d1
+    ), kept AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, len(ws) AS nw,
+               list_sum(list_transform(ws, w -> length(w)))
+                 / greatest(len(ws), 1) AS mwl,
+               length(regexp_replace(text, '[^{{}}#<>\\[\\]\\\\|]', '', 'g'))
+                 / greatest(length(text), 1) AS sym,
+               len(list_intersect(list_distinct(ws), ['the','a'])) AS nstop,
+               CASE WHEN len(ws) > 0
+                    THEN 1.0 - len(list_distinct(ws)) / len(ws)
+                    ELSE 0.0 END AS dupf
+        FROM feat)
+      WHERE nw BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND nstop >= 2 AND dupf <= 0.9
+    ), g_all AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 7, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents)
+    ), h_all AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g_all
+    ), contaminated AS (
+      SELECT DISTINCT h_all.doc_id FROM h_all
+      JOIN (SELECT DISTINCT h FROM h_all WHERE doc_id % 50 = 0) b USING (h)
+    ), d3 AS (
+      SELECT k.doc_id, k.lang FROM kept k
+      LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+      WHERE c.doc_id IS NULL
+    )
+    SELECT CASE WHEN u < {_SPLIT_B1!r} THEN 'train'
+                WHEN u < {_SPLIT_B2!r} THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n
+    FROM (SELECT lang,
+                 ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+                   / {_U60} AS u
+          FROM d3)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_build_counts(spark, sf_dir):
+    """Flagship end-to-end corpus assembly — the composition a real
+    training-data pipeline runs, all in one declarative plan Catalyst
+    optimizes jointly: exact dedup (md5 group reps) → C4/Gopher
+    quality gate (narrow projection) → benchmark decontamination
+    (broadcast 8-gram overlap vs the every-50th-doc benchmark slice)
+    → deterministic 80/10/10 split → per-(split, lang) counts."""
+    from spacetime_crawler4py_spark.operators.dedup import exact_dedup
+    from spacetime_crawler4py_spark.operators.quality import (
+        c4_gopher_flags,
+        decontaminate,
+    )
+    from spacetime_crawler4py_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    d1 = exact_dedup(d)
+    keep_ids = (
+        c4_gopher_flags(d1, stopword_list=["the", "a"])
+        .where("keep")
+        .select("doc_id")
+    )
+    d2 = d1.join(keep_ids, "doc_id", "left_semi")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    d3 = decontaminate(d2, bench, n=8)
+    return (
+        hash_split(d3, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
     "decon_flagged",
     r"""
     WITH ws_t AS (

@@ -631,3 +631,39 @@ def test_hash_sampling_deterministic_and_append_stable(spark):
           mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert by["small"] == 100           # limiting stratum kept whole
     assert by["big"] <= 120             # ~100 expected, never > original
+
+
+def test_c4_gopher_flags(spark):
+    """Rule-by-rule behavior on adversarial docs: word-count band,
+    mean-word-length band, symbol ratio, function-word gate,
+    duplicate-word cap; null/empty texts fail closed (keep=False,
+    no null-poisoned booleans)."""
+    from spacetime_crawler4py_spark.operators.quality import c4_gopher_flags
+
+    good = "the cat and the dog have been to all of that park with " \
+           "friends near home today again because weather was nice " \
+           "and walks are good for everyone involved indeed truly"
+    rows = [
+        (1, good),                                  # passes everything
+        (2, "short text only"),                     # fails min_words
+        (3, " ".join(["spam"] * 40)),               # fails dup + stopwords
+        (4, good + " {}{}#### " + "#" * 40),        # fails symbol ratio
+        (5, None),                                  # null -> all closed
+        (6, ""),                                    # empty
+        (7, " ".join(["supercalifragilistic"] * 10 + [good])),  # word len ok still
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_gopher_flags(d, min_words=20).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_words"] is False and out[2]["keep"] is False
+    assert out[3]["ok_repetition"] is False
+    assert out[3]["ok_stopwords"] is False
+    assert out[4]["ok_symbols"] is False
+    for i in (5, 6):
+        r = out[i]
+        assert r["keep"] is False
+        assert all(
+            r[c] is not None
+            for c in ("ok_words", "ok_word_len", "ok_symbols",
+                      "ok_stopwords", "ok_repetition", "keep")
+        )
