@@ -1204,6 +1204,222 @@ def decon_flagged(spark, sf_dir):
     return contamination_flags(d, bench, n=8)
 
 
+# ---------------------------------------------------------------------
+# corpus cleaning (operators/cleaning.py): C4 line dedup, PII
+# redaction, unigram-LM scoring, duplicate-span coverage
+# ---------------------------------------------------------------------
+
+# PII regexes shared verbatim by both engines (RE2 ∩ Java syntax)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\(?\d{3}\)?[ -]\d{3}-\d{4}"
+
+
+@_q(
+    "clean_line_dedup",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, CAST(floor((len(ws) + 6) / 7) AS BIGINT) + 1),
+               i -> struct_pack(
+                 pos := i,
+                 line := array_to_string(
+                   list_slice(ws, (i - 1) * 7 + 1, (i - 1) * 7 + 7), ' ')))) AS c
+      FROM ws_t
+    ), l AS (
+      SELECT doc_id, c.pos AS pos, c.line AS line FROM chunks
+      WHERE c.line <> ''
+    ), k AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM l
+    ), agg AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+             COUNT(*) AS n_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    ), nl AS (
+      SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(nl.n_lines, 0) AS n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           md5(COALESCE(agg.text, '')) AS text_md5
+    FROM documents d
+    LEFT JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+)
+def clean_line_dedup(spark, sf_dir):
+    """C4-style global line dedup (Raffel et al. 2020 §2.2): docs are
+    re-lined into 7-word chunks (the synthetic corpus is single-line),
+    every later occurrence of a duplicated line is cut, docs
+    reassembled from survivors. First-occurrence resolution is a
+    map-side-combinable min(struct) groupBy — no hot-key window."""
+    from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+    from spacetime_crawler4py_spark.operators.cleaning import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    words = tokens_ws(F.col("text"))
+    k = F.floor((F.size(words) + F.lit(6)) / F.lit(7)).cast("int")
+    ml = F.when(
+        k > 0,
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - 1) * 7 + 1, 7)
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    out = line_dedup(d.select("doc_id", ml.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
+    "clean_pii_redacted",
+    rf"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id::VARCHAR
+                  || '@mail.example.com from 10.'
+                  || (doc_id % 200)::VARCHAR || '.3.7 call (555) 867-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{_PII_IPV4}'))
+             + len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_redactions,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS text_md5
+    FROM inj
+    """,
+)
+def clean_pii_redacted(spark, sf_dir):
+    """PII redaction (email/IPv4/phone → typed placeholders), pure
+    JVM regexp chain.  The synthetic corpus carries no PII, so each
+    row gets a deterministic doc_id-derived injection — replayed
+    verbatim by the oracle — and the md5 of the redacted text proves
+    both engines rewrote the same spans."""
+    from spacetime_crawler4py_spark.operators.cleaning import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.7 call (555) 867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(inj)
+    return out.select(
+        "doc_id", "n_redactions", F.md5("text").alias("text_md5")
+    )
+
+
+@_q(
+    "clean_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ), lm AS (
+      SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    ), tot AS (
+      SELECT SUM(cnt)::DOUBLE AS total FROM lm
+    )
+    SELECT t.doc_id,
+           ROUND(ln((SELECT total FROM tot)) - AVG(ln(cnt)), 4) AS xent,
+           COUNT(*) AS n_tokens
+    FROM toks t JOIN lm USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def clean_unigram_logprob(spark, sf_dir):
+    """Per-doc mean −ln p(word) under the corpus's own unigram LM —
+    the oracle-able stand-in for CCNet's KenLM perplexity filter
+    (Wenzek et al. 2020). One explode, one partial-agg LM groupBy,
+    one equi-join back on the Zipf-small word key."""
+    from spacetime_crawler4py_spark.operators.cleaning import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id", F.round("xent", 4).alias("xent"), "n_tokens"
+    )
+
+
+@_q(
+    "clean_dup_span_frac",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), occ0 AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 4, 0) + 1),
+               i -> struct_pack(
+                 pos := i - 1,
+                 h := ('0x' || substr(md5(array_to_string(
+                        list_slice(ws, i, i + 4), ' ')), 1, 15))::BIGINT))) AS o
+      FROM ws_t
+    ), occ AS (
+      SELECT doc_id, o.pos AS pos, o.h AS h FROM occ0
+    ), cd AS (
+      SELECT h FROM occ GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+    ), cov AS (
+      SELECT doc_id, COUNT(DISTINCT off) AS n_dup FROM (
+        SELECT occ.doc_id, unnest(range(occ.pos, occ.pos + 5)) AS off
+        FROM occ JOIN cd USING (h))
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(ws) AS n_tokens,
+           COALESCE(cov.n_dup, 0) AS n_dup_tokens,
+           ROUND(CASE WHEN len(ws) > 0
+                      THEN COALESCE(cov.n_dup, 0) / len(ws)::DOUBLE
+                      ELSE 0.0 END, 4) AS dup_span_frac
+    FROM ws_t w LEFT JOIN cov USING (doc_id)
+    """,
+)
+def clean_dup_span_frac(spark, sf_dir):
+    """ExactSubstr-style duplicate-span coverage (Lee et al. 2022):
+    fraction of a doc's token positions inside a word 5-gram that
+    also occurs in another document. Cross-doc grams resolved by a
+    partial-agg min/max-doc groupBy on 8-byte gram keys."""
+    from spacetime_crawler4py_spark.operators.cleaning import dup_span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    out = dup_span_coverage(d, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_dup_tokens").cast("long").alias("n_dup_tokens"),
+        F.round("dup_span_frac", 4).alias("dup_span_frac"),
+    )
+
+
 @_q(
     "sk_cms_word_counts",
     f"""

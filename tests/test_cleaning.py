@@ -1,0 +1,141 @@
+"""operators/cleaning.py: C4 line dedup, PII redaction, unigram-LM
+scoring, duplicate-span coverage (engine extensions; semantics pinned
+against hand-computed expectations and pure-Python twins)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.operators.cleaning import (
+    dup_span_coverage,
+    line_dedup,
+    redact_pii,
+    unigram_lm,
+    unigram_logprob,
+)
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared line\ngamma"),
+            (2, "shared line\ndelta"),  # loses 'shared line' to doc 1
+            (3, "shared line"),  # all lines duplicated -> empty text
+            (4, ""),  # no lines at all
+            (5, None),  # null text == empty
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df).collect()
+    }
+    assert out[1]["text"] == "alpha beta\nshared line\ngamma"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text"] == "delta"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 0)
+    assert out[4]["text"] == ""
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (0, 0)
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (0, 0)
+    # keep_empty_docs=False drops the fully-deduplicated doc AND the
+    # empty input doc
+    kept_ids = {
+        r["doc_id"]
+        for r in line_dedup(df, keep_empty_docs=False).collect()
+    }
+    assert kept_ids == {1, 2}
+
+
+def test_line_dedup_within_doc_duplicates(spark):
+    # a line repeated INSIDE one doc keeps only its first position
+    df = spark.createDataFrame(
+        [(7, "x y\nmid\nx y\nend")], "doc_id int, text string"
+    )
+    r = line_dedup(df).collect()[0]
+    assert r["text"] == "x y\nmid\nend"
+    assert (r["n_lines"], r["n_kept"]) == (4, 3)
+
+
+def test_redact_pii_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.001.5 port"),
+            (3, "call (555) 123-4567 or 555 123-4567"),
+            (4, "clean text, no pii here"),
+            (5, "a@b.io and 10.0.0.1"),
+            (6, None),  # null text -> empty, 0 redactions
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text"] == "mail <EMAIL> now"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["text"] == "server at <IP> port"
+    assert out[3]["text"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_redactions"] == 2
+    assert out[4]["text"] == "clean text, no pii here"
+    assert out[4]["n_redactions"] == 0
+    assert out[5]["text"] == "<EMAIL> and <IP>"
+    assert out[5]["n_redactions"] == 2
+    assert out[6]["text"] == "" and out[6]["n_redactions"] == 0
+
+
+def test_unigram_logprob_matches_python(spark):
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # corpus counts: a=2, b=2, c=1, total=5
+    cnt = {"a": 2, "b": 2, "c": 1}
+    total = 5.0
+
+    def xent(words):
+        return -sum(math.log(cnt[w] / total) for w in words) / len(words)
+
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}  # empty doc has no score
+    assert abs(out[1]["xent"] - xent(["a", "a", "b"])) < 1e-12
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[2]["xent"] - xent(["b", "c"])) < 1e-12
+    # precomputed-LM path reuses one LM across scoring runs
+    lm = unigram_lm(df).cache()
+    out2 = {r["doc_id"]: r for r in unigram_logprob(df, lm=lm).collect()}
+    assert out2[1]["xent"] == out[1]["xent"]
+    lm.unpersist()
+
+
+def test_dup_span_coverage(spark):
+    shared = "one two three four five"  # the only cross-doc 5-gram
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} tail words here"),
+            (2, f"{shared} something else entirely okay"),
+            (3, "totally unrelated text with no overlap at all"),
+            (4, "tiny"),
+            (5, None),  # null text -> 0 tokens, 0 coverage
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=5).collect()}
+    assert (out[5]["n_tokens"], out[5]["n_dup_tokens"]) == (0, 0)
+    # doc 1: 9 tokens, positions 1..5 covered -> 5/9
+    assert (out[1]["n_tokens"], out[1]["n_dup_tokens"]) == (9, 5)
+    assert abs(out[1]["dup_span_frac"] - 5 / 9) < 1e-12
+    # doc 2: 9 tokens, positions 0..4 covered
+    assert (out[2]["n_tokens"], out[2]["n_dup_tokens"]) == (9, 5)
+    assert out[3]["n_dup_tokens"] == 0
+    assert out[4]["n_dup_tokens"] == 0 and out[4]["dup_span_frac"] == 0.0
+
+
+def test_dup_span_overlapping_spans_count_once(spark):
+    # two docs share SIX consecutive words -> two overlapping 5-grams
+    # covering 6 distinct positions, not 10
+    shared = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, f"{shared} filler1 filler2"), (2, f"pre {shared}")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=5).collect()}
+    assert out[1]["n_dup_tokens"] == 6
+    assert out[2]["n_dup_tokens"] == 6
