@@ -245,3 +245,50 @@ def test_minhash_heavy_work_stays_above_the_spread(spark):
     below = plan.split("RoundRobinPartitioning")[1]
     assert "concat_ws" not in below
     assert "array_distinct" not in below
+
+
+def test_line_dedup_first_occurrence_is_partial_agg_not_window(spark):
+    """line_dedup's global first-occurrence must be the map-side-
+    combinable min(struct) groupBy: a boilerplate line shared by 10⁸
+    pages collapses in the combiner, where a row_number window would
+    funnel the whole hot key through one task.  Pin: no Window node,
+    and the _key aggregate is two-phase (partial before the
+    Exchange, final after)."""
+    from spacetime_crawler4py_spark.operators.cleaning import line_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(line_dedup(d))
+    assert "Window" not in plan
+    # two-phase agg: an aggregate node appears on both sides of a
+    # shuffle (partial_min / min in the keys listing)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_coverage_no_cartesian_and_partial_agg(spark):
+    """Cross-doc gram detection must be the min/max-doc partial agg
+    on the 8-byte gram key — never a gram-occurrence self-join (the
+    O(occurrences²) shape) and never a cartesian."""
+    from spacetime_crawler4py_spark.operators.cleaning import dup_span_coverage
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dup_span_coverage(d, n=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_unigram_logprob_one_row_total_broadcast(spark):
+    """The LM grand total is the sanctioned broadcast-of-one-row; the
+    token→LM join must be a hash equi-join on word."""
+    from spacetime_crawler4py_spark.operators.cleaning import unigram_logprob
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(unigram_logprob(d))
+    assert "CartesianProduct" not in plan
+    # exactly the one-row total may ride a nested-loop broadcast
+    # (count in the tree section only — formatted explain repeats
+    # every node in the details listing below the tree)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
