@@ -1,4 +1,6 @@
-"""Distributed connected components over an edge DataFrame.
+"""Distributed graph operators over edge DataFrames: connected
+components (dedup representative selection) and PageRank (link-graph
+authority for crawl prioritization / corpus quality weighting).
 
 Alternating large-star / small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC 2014 — public paper):
@@ -113,3 +115,78 @@ def connected_components(
     )
     edges.unpersist()
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power iterations (Page &
+    Brin 1998) over the node universe appearing in ``edges``.
+
+    r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)/outdeg(u) + dang_t/N)
+    where dang_t is the rank mass sitting on dangling nodes (no
+    out-edges), redistributed uniformly — the standard stochastic
+    completion, so Σ rank = 1 at every step.
+
+    Shape per iteration at scale: ONE shuffle join rank⋈edges on the
+    src key + ONE groupBy(dst) partial agg for the contributions,
+    plus a one-row dangling-mass aggregate (broadcast).  The
+    degree-annotated edge list is computed once and cached — rank
+    state is O(nodes), edges are never re-derived.  Skewed in-degree
+    (the web's hub pages) lands on the partial agg's map-side
+    combine; AQE handles the residual reduce skew.  Parallel edges
+    are deduped (the web-graph convention); self-loops count like
+    any other edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    ew = e.join(deg, "u").cache()
+    ew.count()  # pin before the loop reuses it n_iter times
+
+    rank = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dang = (
+            rank.join(deg.select(F.col("u").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .first()["d"]
+        )
+        contrib = (
+            ew.join(rank.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .cache()
+        )
+        # materialize BEFORE dropping the previous state: unpersisting
+        # first would re-derive the whole lineage chain each round
+        nxt.count()
+        rank.unpersist()
+        rank = nxt
+    ew.unpersist()
+    nodes.unpersist()
+    return rank

@@ -2027,12 +2027,94 @@ def warc_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# link-graph authority (operators/graph.pagerank)
+# =====================================================================
+
+
+@_q("graph_pagerank_top20", None)  # oracle attached in _finalize (unrolled power iteration)
+def graph_pagerank_top20(spark, sf_dir):
+    """PageRank over a deterministic hash-derived link graph (each
+    doc links to 4 arithmetic neighbors — no external data).  The
+    oracle replays all 5 damped power iterations as an unrolled CTE
+    chain with the identical dangling-mass completion, so the hash
+    match certifies the iterative join/agg loop itself."""
+    from spacetime_crawler4py_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+        )
+        .select(
+            "src",
+            F.pmod(
+                F.col("src") * 37 + F.col("k") * 1009 + 7, F.lit(n)
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    pr = pagerank(e, n_iter=5, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+# =====================================================================
 # finalize: oracles that need generated SQL fragments
 # =====================================================================
 
 
 def _finalize() -> None:
     from spacetime_crawler4py_spark.functions.stopwords import STOPWORDS
+
+    # ---- PageRank: every damped power iteration unrolled as a CTE,
+    # same IEEE-double op sequence as the Spark loop (base and
+    # damping expressions written identically; dangling mass
+    # computed then divided by N, matching the Python-side dang/n)
+    pr_iters = []
+    for i in range(1, 6):
+        p = i - 1
+        pr_iters.append(
+            f"""d{i} AS (
+      SELECT COALESCE(SUM(r.rank), 0.0::DOUBLE) AS dm
+      FROM r{p} r WHERE r.node NOT IN (SELECT u FROM deg)
+    ), c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / deg.deg) AS s
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.u = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT nodes.node,
+             (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+             + 0.85::DOUBLE * (COALESCE(c.s, 0.0::DOUBLE)
+                               + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+               AS rank
+      FROM nodes LEFT JOIN c{i} c USING (node)
+    )"""
+        )
+    ORACLES["graph_pagerank_top20"] = f"""
+    WITH nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 37 + k * 1009 + 7) % (SELECT COUNT(*) FROM documents)
+                 AS dst
+        FROM documents, (SELECT unnest([1, 2, 3, 4]) AS k)
+      ) WHERE src <> dst
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src AS u, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
+    ),
+    {", ".join(pr_iters)}
+    SELECT node, rank FROM (
+      SELECT node, ROUND(rank, 6) AS rank FROM r5
+    ) ORDER BY rank DESC, node LIMIT 20
+    """
     from spacetime_crawler4py_spark.functions.text_quality import LANG_MARKERS
 
     stop_list = "[" + ", ".join(f"'{s.replace(chr(39), chr(39)*2)}'" for s in STOPWORDS) + "]"

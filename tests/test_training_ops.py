@@ -667,3 +667,48 @@ def test_c4_gopher_flags(spark):
             for c in ("ok_words", "ok_word_len", "ok_symbols",
                       "ok_stopwords", "ok_repetition", "keep")
         )
+
+
+def test_pagerank_vs_numpy_dense(spark):
+    """pagerank() must match a dense numpy power iteration (same
+    damping, same dangling completion) to float precision — on a
+    pseudo-random digraph with hubs, a dangling node, a self-loop,
+    and parallel edges (which dedup)."""
+    import numpy as np
+
+    from spacetime_crawler4py_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n = 40
+    edges = {(int(rng.randint(n)), int(rng.randint(n))) for _ in range(150)}
+    edges |= {(i, 0) for i in range(1, 15)}     # hub in-degree skew
+    edges.add((3, 3))                           # self-loop
+    edges -= {(5, j) for j in range(n)}         # node 5 dangling
+    edges.add((0, 5))                           # ...but reachable
+    rows = list(edges) + [list(edges)[0]]       # one parallel duplicate
+
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=8, damping=0.85).collect()
+    }
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    out = [[] for _ in range(N)]
+    for u, v in edges:
+        out[idx[u]].append(idx[v])
+    r = np.full(N, 1.0 / N)
+    for _ in range(8):
+        nxt = np.full(N, (1 - 0.85) / N)
+        dang = sum(r[i] for i in range(N) if not out[i])
+        nxt += 0.85 * dang / N
+        for i in range(N):
+            for j in out[i]:
+                nxt[j] += 0.85 * r[i] / len(out[i])
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9   # stochastic completion
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
