@@ -2027,6 +2027,76 @@ def warc_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# sequence packing for LLM training (operators/packing.py)
+# =====================================================================
+
+
+@_q(
+    "pack_doc_placement",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT AS h,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '')) AS n_tokens
+      FROM documents
+    ), nz AS (
+      SELECT *, (h % 16)::INT AS shard FROM t WHERE n_tokens > 0
+    ), p AS (
+      SELECT doc_id, shard, n_tokens::BIGINT AS n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS tok_start
+      FROM nz
+    )
+    SELECT doc_id, shard, n_tokens, tok_start,
+           (tok_start // 512)::BIGINT AS first_seq,
+           ((tok_start + n_tokens - 1) // 512)::BIGINT AS last_seq
+    FROM p
+    """,
+)
+def pack_doc_placement(spark, sf_dir):
+    """Concat-and-chunk packing placement: every doc's offset and
+    sequence span in its shard's token stream (shard-parallel
+    packing — the window partitions on the md5 shard key, so no
+    global sort).  All-integer output, exact across engines."""
+    from spacetime_crawler4py_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512, n_shards=16)
+
+
+@_q(
+    "pack_shard_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT AS h,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '')) AS n_tokens
+      FROM documents
+    ), nz AS (
+      SELECT *, (h % 16)::INT AS shard FROM t WHERE n_tokens > 0
+    )
+    SELECT shard, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS n_tokens,
+           ceil(SUM(n_tokens) / 512.0::DOUBLE)::BIGINT AS n_seqs,
+           ROUND((SUM(n_tokens) % 512) / 512.0::DOUBLE, 4) AS tail_fill
+    FROM nz GROUP BY shard
+    """,
+)
+def pack_shard_stats(spark, sf_dir):
+    """Per-shard packing summary (sequence counts + padding waste
+    of the final partial sequence) — one partial agg over the
+    placement."""
+    from spacetime_crawler4py_spark.operators.packing import packing_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return packing_stats(d, seq_len=512, n_shards=16)
+
+
+# =====================================================================
 # link-graph authority (operators/graph.pagerank)
 # =====================================================================
 

@@ -139,3 +139,42 @@ def test_dup_span_overlapping_spans_count_once(spark):
     out = {r["doc_id"]: r for r in dup_span_coverage(df, n=5).collect()}
     assert out[1]["n_dup_tokens"] == 6
     assert out[2]["n_dup_tokens"] == 6
+
+
+def test_pack_sequences_tiles_each_shard(spark):
+    """Within every shard the docs tile the token stream
+    contiguously from 0, and the sequence spans are the floor-div
+    of the tiled offsets; empty docs are dropped."""
+    from spacetime_crawler4py_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L = 128
+    rows = pack_sequences(d, seq_len=L, n_shards=8).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in docs:
+            assert r["tok_start"] == pos
+            assert r["first_seq"] == pos // L
+            assert r["last_seq"] == (pos + r["n_tokens"] - 1) // L
+            pos += r["n_tokens"]
+    st = {r["shard"]: r for r in packing_stats(d, seq_len=L, n_shards=8).collect()}
+    for shard, docs in by_shard.items():
+        tot = sum(r["n_tokens"] for r in docs)
+        assert st[shard]["n_tokens"] == tot
+        assert st[shard]["n_seqs"] == -(-tot // L)
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    got = pack_sequences(tiny, seq_len=4, n_shards=2).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["tok_start"] == 0 and got[0]["n_tokens"] == 3
