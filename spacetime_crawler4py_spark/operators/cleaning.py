@@ -213,6 +213,64 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    n_shards: int = 8,
+    lm: DataFrame | None = None,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al.
+    2020 §4.3: head/middle/tail by LM perplexity terciles).
+
+    Buckets are SHARD-LOCAL: ntile(n_buckets) within (lang, shard),
+    shard = md5-hash of the doc id.  A per-language global ntile
+    would sort the dominant language through one task; shard-local
+    terciles keep every window partition bounded and converge to the
+    global cut points (CCNet itself computes its thresholds on a
+    sample).  Ordering is (xent rounded to 4dp, id) — a total order,
+    so the assignment is deterministic and engine-exact.
+
+    Returns (id, lang, shard, xent, bucket[, label]) for every doc
+    the LM scores (docs with no scoreable tokens are absent);
+    bucket 1 = lowest xent.  ``label`` (head/middle/tail) is added
+    for the CCNet n_buckets=3 case.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, id_col, text_col, lm)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    j = (
+        df.select(id_col, lang_col)
+        .join(scored, id_col)
+        .select(
+            id_col,
+            lang_col,
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+            F.round("xent", 4).alias("xent"),
+        )
+    )
+    w = Window.partitionBy(lang_col, "shard").orderBy("xent", id_col)
+    out = j.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        out = out.withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 3, "tail")
+            .otherwise("middle"),
+        )
+    return out
+
+
 # ---------------------------------------------------------------------
 # cross-document duplicate-span coverage (ExactSubstr-lite)
 # ---------------------------------------------------------------------

@@ -2026,6 +2026,87 @@ def warc_roundtrip(spark, sf_dir):
     )
 
 
+@_q(
+    "quality_hashlin_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+           CASE WHEN len(ws) > 0 THEN
+             ROUND(1.0::DOUBLE / (1.0::DOUBLE + exp(-(0.0::DOUBLE
+               + list_sum(list_transform(ws, w ->
+                   ('0x' || substr(md5('qw:' || w), 1, 15))::BIGINT
+                   / 1152921504606846976.0 * 2.0 - 1.0))
+                 / len(ws)::DOUBLE))), 4)
+           ELSE NULL END AS score
+    FROM t
+    """,
+)
+def quality_hashlin_scores(spark, sf_dir):
+    """fasttext-style linear quality score (sigmoid of mean token
+    weight) with hash-derived pseudo-weights — per-row higher-order
+    Column math, no explode, no shuffle."""
+    from spacetime_crawler4py_spark.operators.quality import (
+        hash_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_linear_score(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 4).alias("score")
+    )
+
+
+@_q(
+    "clean_ppl_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ), lm AS (
+      SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    ), tot AS (
+      SELECT SUM(cnt)::DOUBLE AS total FROM lm
+    ), sc AS (
+      SELECT t.doc_id,
+             ROUND(ln((SELECT total FROM tot)) - AVG(ln(cnt)), 4) AS xent
+      FROM toks t JOIN lm USING (word)
+      GROUP BY t.doc_id
+    ), j AS (
+      SELECT d.doc_id, d.lang,
+             ((('0x' || substr(md5('ppl:' || d.doc_id), 1, 15))::BIGINT
+               % 8))::INT AS shard,
+             sc.xent
+      FROM documents d JOIN sc USING (doc_id)
+    )
+    SELECT doc_id, lang, shard, xent,
+           ntile(3) OVER (PARTITION BY lang, shard
+                          ORDER BY xent, doc_id) AS bucket,
+           CASE ntile(3) OVER (PARTITION BY lang, shard
+                               ORDER BY xent, doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS label
+    FROM j
+    """,
+)
+def clean_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets by unigram-LM xent
+    terciles within (lang, md5 shard) — shard-local ntile keeps
+    the dominant language off a single task."""
+    from spacetime_crawler4py_spark.operators.cleaning import (
+        perplexity_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, n_buckets=3, n_shards=8)
+
+
 # =====================================================================
 # sequence packing for LLM training (operators/packing.py)
 # =====================================================================

@@ -178,3 +178,27 @@ def test_pack_sequences_tiles_each_shard(spark):
     got = pack_sequences(tiny, seq_len=4, n_shards=2).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["tok_start"] == 0 and got[0]["n_tokens"] == 3
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    """Within every (lang, shard) partition the three CCNet buckets
+    differ in size by at most 1 and are ordered by xent."""
+    from spacetime_crawler4py_spark.operators.cleaning import (
+        perplexity_buckets,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = perplexity_buckets(d, n_buckets=3, n_shards=4).collect()
+    assert {r["label"] for r in rows} == {"head", "middle", "tail"}
+    parts = {}
+    for r in rows:
+        parts.setdefault((r["lang"], r["shard"]), []).append(r)
+    for key, rs in parts.items():
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (key, sizes)
+        assert sizes[0] >= sizes[1] >= sizes[2], (key, sizes)  # ntile order
+        for lo, hi in ((1, 2), (2, 3)):
+            a = [r["xent"] for r in rs if r["bucket"] == lo]
+            b = [r["xent"] for r in rs if r["bucket"] == hi]
+            if a and b:
+                assert max(a) <= min(b), key

@@ -712,3 +712,58 @@ def test_pagerank_vs_numpy_dense(spark):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_hash_linear_score_paths_agree(spark):
+    """The no-shuffle hash path and the weights-table join path must
+    produce the same scores when the table holds the same hash
+    weights; OOV tokens score neutral on the join path; null/empty
+    docs give (0, NULL) on both."""
+    import hashlib
+    import math
+
+    from spacetime_crawler4py_spark.operators.quality import (
+        hash_linear_score,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "Mixed CASE tokens"),
+        (3, ""),
+        (4, None),
+        (5, "solo"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    inline = {r["doc_id"]: r for r in hash_linear_score(d).collect()}
+
+    def w_of(tok):
+        h = int(hashlib.md5(f"qw:{tok}".encode()).hexdigest()[:15], 16)
+        return h / 2**60 * 2.0 - 1.0
+
+    vocab = sorted(
+        {t for _, txt in rows if txt for t in txt.lower().split()}
+    )
+    wdf = spark.createDataFrame([(t, w_of(t)) for t in vocab], ["word", "w"])
+    joined = {r["doc_id"]: r for r in hash_linear_score(d, weights=wdf).collect()}
+
+    assert set(inline) == set(joined) == {1, 2, 3, 4, 5}
+    for i in (3, 4):
+        for got in (inline[i], joined[i]):
+            assert got["n_tokens"] == 0 and got["score"] is None
+    for i in (1, 2, 5):
+        assert inline[i]["n_tokens"] == joined[i]["n_tokens"]
+        assert abs(inline[i]["score"] - joined[i]["score"]) < 1e-12
+        toks = dict(rows)[i].lower().split()
+        want = 1.0 / (1.0 + math.exp(-(sum(map(w_of, toks)) / len(toks))))
+        assert abs(inline[i]["score"] - want) < 1e-12
+
+    # OOV tokens neutral on the join path: half the vocab removed
+    wdf2 = spark.createDataFrame(
+        [(t, w_of(t)) for t in vocab if t != "alpha"], ["word", "w"]
+    )
+    j2 = {r["doc_id"]: r for r in hash_linear_score(d, weights=wdf2).collect()}
+    toks = "alpha beta gamma alpha".lower().split()
+    want = 1.0 / (1.0 + math.exp(-(
+        sum(w_of(t) for t in toks if t != "alpha") / len(toks)
+    )))
+    assert abs(j2[1]["score"] - want) < 1e-12
