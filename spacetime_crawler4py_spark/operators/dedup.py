@@ -387,7 +387,12 @@ def minhash_dedup(
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, JVM-side
-    (zip_with dot product + aggregate norms; no Python crossing)."""
+    (zip_with dot product + aggregate norms; no Python crossing).
+
+    NULL when either vector has zero norm (ANSI mode would otherwise
+    raise DIVIDE_BY_ZERO): a zero vector is never a near-dup and
+    never ranks in top-k — threshold filters drop the NULL, desc
+    sorts put it last."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -395,7 +400,8 @@ def cosine_sim(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom)
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:

@@ -299,6 +299,112 @@ def _assign(emb, centroids, vec_col, id_col, assign: str):
     return fn(emb, centroids, vec_col, id_col)
 
 
+def semdedup(
+    emb: DataFrame,
+    eps: float = 0.5,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by clustering embeddings then dropping, within each
+    cluster, every point that has an EARLIER-ranked neighbor with
+    cosine ≥ ``eps``.
+
+    Rank order inside a cluster is (distance-to-centroid DESC, id) —
+    the paper's keep-the-farthest-from-centroid rule, made
+    deterministic with the id tie-break.  A point is dropped iff ANY
+    earlier point is ≥ eps similar (the released SemDeDup semantics:
+    the upper-triangular max-sim test, NOT a sequential greedy MIS —
+    so the drop set is a pure pairwise predicate and stays
+    order-parallel).
+
+    Scale shape: the coarse k-means bounds all pairwise work to
+    within-cluster — O(Σ|cluster|²) total, the paper's cost model
+    (k grows with n to hold cluster size ~10⁴ at 10⁹ docs).  The
+    rank is one window shuffle keyed by cid; candidate pairs are a
+    cid equi-join (AQE skew-split applies to oversized clusters);
+    distance/cosine math is the same JVM double fold as the IVF
+    operators, rounded (6 dp dist, 4 dp cosine) so the fit AND the
+    drop decisions replay bit-identically in the SQL oracle.
+
+    Returns (id, cid, d2c, kept) — kept=false rows are the semantic
+    duplicates to discard.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            emb, k=n_centroids, n_iter=n_iter, vec_col=vec_col,
+            id_col=id_col, assign=assign,
+        )
+    assigned = _assign(emb, centroids, vec_col, id_col, assign)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, c array<double>",
+    )
+    d2c = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("c"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            F.round(d2c, 6).alias("d2c"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("d2c"), F.asc(id_col))
+    ranked = base.withColumn("rnk", F.row_number().over(w))
+    lo = ranked.select(
+        F.col("cid"), F.col("rnk").alias("rnk_lo"),
+        F.col(vec_col).alias("v_lo"),
+    )
+    hi = ranked.select(
+        F.col("cid"), F.col(id_col).alias("_hi_id"),
+        F.col("rnk").alias("rnk_hi"), F.col(vec_col).alias("v_hi"),
+    )
+    dropped = (
+        lo.join(hi, "cid")
+        .where(F.col("rnk_lo") < F.col("rnk_hi"))
+        .where(
+            F.round(
+                cosine_sim(
+                    F.col("v_lo").cast("array<double>"),
+                    F.col("v_hi").cast("array<double>"),
+                ),
+                4,
+            )
+            >= eps
+        )
+        .select(F.col("_hi_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.col("d2c"),
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

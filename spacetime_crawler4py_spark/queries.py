@@ -1563,6 +1563,27 @@ def ann_ivf_join(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@_q("semdedup_kept", None)  # oracle attached in _finalize (unrolled Lloyd)
+def semdedup_kept(spark, sf_dir):
+    """SemDedup (operators/similarity.py semdedup; Abbas et al.
+    2023): k-means cluster the embeddings (k=8, the same 2-iteration
+    rounded Lloyd fit the IVF rows pin), rank within cluster by
+    distance-to-centroid DESC, drop any point with an earlier-ranked
+    neighbor at cosine ≥ 0.3.  The DuckDB twin replays the ENTIRE
+    pipeline — fit, assign, rank window, pairwise drop predicate —
+    so the hash match certifies the semantic-dedup decisions
+    themselves, not a summary."""
+    from spacetime_crawler4py_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semdedup(e, eps=0.3, n_centroids=8, n_iter=2, assign="literal")
+    return out.select(
+        "vec_id", "cid", F.round("d2c", 6).alias("d2c"), "kept"
+    ).orderBy("vec_id")
+
+
 @_q("dedup_minhash_cc", None)  # oracle attached in _finalize (recursive CTE)
 def dedup_minhash_cc(spark, sf_dir):
     """Connected components over the minhash near-dup pair graph
@@ -2510,6 +2531,46 @@ def _finalize() -> None:
 
     ORACLES["ann_ivf_top10"] = _ivf_oracle(k=8, nprobe=2)
     ORACLES["ann_ivf_join_top10"] = _ivf_oracle(k=256, nprobe=16)
+
+    # ---- SemDedup: the same unrolled Lloyd fit, then the rank
+    # window + pairwise earlier-neighbor drop predicate replayed in
+    # SQL.  list_cosine_similarity is DuckDB's double-sum cosine —
+    # already proven 4dp-compatible with Spark's zip_with/aggregate
+    # fold by the emb_neardup rows.
+    ORACLES["semdedup_kept"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), {_assign_cte("a1", "c0")},
+    {_recenter_cte("a1", "c0", "c1")},
+    {_assign_cte("a2", "c1")},
+    {_recenter_cte("a2", "c1", "c2")},
+    {_assign_cte("a3", "c2")},
+    d AS MATERIALIZED (
+      SELECT a3.vec_id, a3.cid, ROUND({_l2("e.v", "c2.c")}, 6) AS d2c
+      FROM a3 JOIN e USING (vec_id) JOIN c2 USING (cid)
+    ), ranked AS MATERIALIZED (
+      SELECT vec_id, cid, d2c,
+             row_number() OVER (
+               PARTITION BY cid ORDER BY d2c DESC, vec_id
+             ) AS rnk
+      FROM d
+    ), dropped AS (
+      SELECT DISTINCT hi.vec_id
+      FROM ranked lo JOIN ranked hi
+        ON lo.cid = hi.cid AND lo.rnk < hi.rnk
+      JOIN e el ON el.vec_id = lo.vec_id
+      JOIN e eh ON eh.vec_id = hi.vec_id
+      WHERE ROUND(list_cosine_similarity(el.v, eh.v), 4) >= 0.3
+    )
+    SELECT vec_id, cid, d2c,
+           vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM ranked
+    ORDER BY vec_id
+    """
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

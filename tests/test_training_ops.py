@@ -767,3 +767,46 @@ def test_hash_linear_score_paths_agree(spark):
         sum(w_of(t) for t in toks if t != "alpha") / len(toks)
     )))
     assert abs(j2[1]["score"] - want) < 1e-12
+
+
+def test_semdedup_vs_numpy(spark, emb):
+    """semdedup (Abbas et al. 2023 semantics): numpy twin replays
+    assign → rank-by-centroid-distance → earlier-neighbor drop from
+    the SAME fitted centroids, so the distributed window/join shape
+    is checked against a dense reference implementation."""
+    cents = S.kmeans_fit(emb, k=4, n_iter=2)
+    out = {
+        r["vec_id"]: r
+        for r in S.semdedup(
+            emb, eps=0.9, n_centroids=4, centroids=cents
+        ).collect()
+    }
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    V = np.stack([v for _, v in rows])
+    C = np.stack([np.array(c, dtype=np.float64) for _, c in cents])
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cid = d2.argmin(axis=1)  # argmin ties to lower cid, like min(struct)
+    d2c = np.round(d2[np.arange(len(ids)), cid], 6)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(Vn @ Vn.T, 4)
+    kept_np = {}
+    for c in range(len(C)):
+        members = [i for i in range(len(ids)) if cid[i] == c]
+        members.sort(key=lambda i: (-d2c[i], ids[i]))
+        for pos, i in enumerate(members):
+            kept_np[ids[i]] = not any(
+                sims[i, j] >= 0.9 for j in members[:pos]
+            )
+    assert set(out) == set(ids)
+    for i in ids:
+        assert out[i]["kept"] == kept_np[i], f"vec {i}"
+        assert out[i]["cid"] == int(cid[ids.index(i)])
+    # the planted near-identical pair (10, 50) shares a cluster; the
+    # later-ranked one must be dropped, and every cluster's top rank kept
+    assert out[10]["cid"] == out[50]["cid"]
+    assert out[10]["kept"] != out[50]["kept"]
+    assert sum(not r["kept"] for r in out.values()) >= 1
