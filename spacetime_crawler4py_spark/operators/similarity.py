@@ -195,15 +195,17 @@ def kmeans_fit(
     return cents
 
 
-def _sq_dist(vec_col: str, centroid: list[float]):
+def _sq_dist(vec_col, centroid: list[float]):
     """Σ (v_i − c_i)² as a left-to-right fold in DOUBLE — the fold
     order is part of the cross-engine contract (floating-point sums
     are order-sensitive; aggregate() folds in index order, as does
-    the oracle's unrolled sum chain)."""
+    the oracle's unrolled sum chain).  ``vec_col`` may be a column
+    name or a Column (e.g. a subspace slice)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(
-            F.col(vec_col).cast("array<double>"),
+            v.cast("array<double>"),
             c,
             lambda x, y: (x - y) * (x - y),
         ),
@@ -297,6 +299,108 @@ def _assign(emb, centroids, vec_col, id_col, assign: str):
         assign = "join" if len(centroids) >= 64 else "literal"
     fn = ivf_assign_join if assign == "join" else ivf_assign
     return fn(emb, centroids, vec_col, id_col)
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_fit(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    ``dim`` dimensions into ``m`` contiguous subspaces and fit an
+    independent ``ksub``-codeword k-means per subspace — the SAME
+    deterministic rounded Lloyd as the IVF coarse quantizer, run on
+    sliced vectors, so each sub-fit replays in SQL identically.
+
+    Returns m codebooks of [(code, sub_centroid)].  Codebook payload
+    is m·ksub·(dim/m) = ksub·dim floats total — driver-tiny at any
+    realistic setting (e.g. 256×768 at nbits=8 over 768-dim)."""
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        books.append(
+            kmeans_fit(
+                sub, k=ksub, n_iter=n_iter, vec_col="_sub",
+                id_col=id_col, assign="literal",
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code_0 … code_{m-1}): per subspace, the nearest codeword
+    by squared L2 (ties to the lower code).  One shuffle-free
+    projection — every argmin is an array_min over (dist, code)
+    structs on the vector slice; at deployment the codes REPLACE the
+    vector (m bytes vs dim·4), which is the whole point: a 10⁹×768-d
+    float corpus is 3 TB, its PQ codes at m=96 are 96 GB."""
+    cols = []
+    dsub = len(codebooks[0][0][1])
+    for j, book in enumerate(codebooks):
+        sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        choices = F.array(
+            *[
+                F.struct(
+                    _sq_dist(sl, vec).alias("d"), F.lit(code).alias("code")
+                )
+                for code, vec in book
+            ]
+        )
+        cols.append(F.array_min(choices)["code"].alias(f"code_{j}"))
+    return emb.select(F.col(id_col), *cols)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query is sliced
+    once on the driver into an m×ksub distance table (python doubles
+    — same left-to-right IEEE sums as the SQL oracle's unrolled
+    chains), and every row's approximate distance is m array lookups
+    + an m-term sum — no vector arithmetic touches the scan, which
+    is what makes PQ the 10⁹-vector RAM path.  Plans as
+    TakeOrderedAndProject on (adc, id)."""
+    dsub = len(codebooks[0][0][1])
+    expr = None
+    for j, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        dt = []
+        for _code, vec in book:
+            acc = 0.0
+            for a, b in zip(qs, vec):
+                acc += (a - b) * (a - b)
+            dt.append(acc)
+        lookup = F.element_at(
+            F.array(*[F.lit(d) for d in dt]), F.col(f"code_{j}") + 1
+        )
+        expr = lookup if expr is None else expr + lookup
+    return (
+        codes.select(F.col(id_col).alias("vec_id"), F.round(expr, 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def semdedup(

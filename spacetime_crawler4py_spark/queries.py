@@ -1563,6 +1563,29 @@ def ann_ivf_join(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@_q("ann_pq_adc_top10", None)  # oracle attached in _finalize (4 sub-fits)
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_fit/
+    pq_encode/pq_adc_topk; Jégou et al. 2011): m=4 subspaces ×
+    ksub=16 codewords fitted with the same rounded 2-iteration
+    Lloyd, vectors encoded to 4 small codes, and the query answered
+    by asymmetric-distance lookups — the RAM path for 10⁹-vector
+    corpora (codes are m bytes vs dim·4).  The DuckDB twin replays
+    all four sub-fits, the encode, and the distance table, so the
+    hash match certifies the full PQ pipeline."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = pq_fit(e, dim=64, m=4, ksub=16, n_iter=2)
+    codes = pq_encode(e, books)
+    return pq_adc_topk(codes, q, books, k=10)
+
+
 @_q("semdedup_kept", None)  # oracle attached in _finalize (unrolled Lloyd)
 def semdedup_kept(spark, sf_dir):
     """SemDedup (operators/similarity.py semdedup; Abbas et al.
@@ -2464,10 +2487,10 @@ def _finalize() -> None:
     # both.
     _dim = 64
 
-    def _l2(a: str, b: str) -> str:
+    def _l2(a: str, b: str, dim: int | None = None) -> str:
         return "(" + " + ".join(
             f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
-            for i in range(1, _dim + 1)
+            for i in range(1, (dim or _dim) + 1)
         ) + ")"
 
     def _dot(a: str, b: str) -> str:
@@ -2475,22 +2498,28 @@ def _finalize() -> None:
             f"{a}[{i}]*{b}[{i}]" for i in range(1, _dim + 1)
         ) + ")"
 
-    def _assign_cte(name: str, cents: str) -> str:
+    def _assign_cte(
+        name: str, cents: str, table: str = "e", dim: int | None = None
+    ) -> str:
         return f"""{name} AS (
       SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
+        SELECT {table}.vec_id, c.cid,
                row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY {_l2("e.v", "c.c")}, c.cid
+                 PARTITION BY {table}.vec_id
+                 ORDER BY {_l2(f"{table}.v", "c.c", dim)}, c.cid
                ) AS rn
-        FROM e, {cents} c)
+        FROM {table}, {cents} c)
       WHERE rn = 1
     )"""
 
-    def _recenter_cte(assign: str, prev: str, out: str) -> str:
+    def _recenter_cte(
+        assign: str, prev: str, out: str,
+        table: str = "e", dim: int | None = None,
+    ) -> str:
         return f"""n_{out} AS (
-      SELECT {assign}.cid, p.pos, ROUND(AVG(e.v[p.pos]), 6) AS val
-      FROM {assign} JOIN e USING (vec_id),
-           (SELECT unnest(range(1, {_dim + 1})) AS pos) p
+      SELECT {assign}.cid, p.pos, ROUND(AVG({table}.v[p.pos]), 6) AS val
+      FROM {assign} JOIN {table} USING (vec_id),
+           (SELECT unnest(range(1, {(dim or _dim) + 1})) AS pos) p
       GROUP BY {assign}.cid, p.pos
     ), {out} AS (
       SELECT {prev}.cid, COALESCE(g.c, {prev}.c) AS c
@@ -2570,6 +2599,48 @@ def _finalize() -> None:
            vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
     FROM ranked
     ORDER BY vec_id
+    """
+
+    # ---- PQ ADC: four independent 16-dim sub-fits (the same
+    # rounded Lloyd, on list_slice'd vectors), the per-subspace
+    # encode, and the query's asymmetric distance table — all
+    # replayed in SQL.  Final codebooks are MATERIALIZED (each is
+    # referenced by both the encode and the distance table; inlining
+    # would replay the sub-fit per reference).
+    _pq_m, _pq_dsub, _pq_ksub = 4, 16, 16
+    _pq_parts = []
+    for _j in range(_pq_m):
+        lo, hi = _j * _pq_dsub + 1, (_j + 1) * _pq_dsub
+        _pq_parts.append(f"""s{_j} AS MATERIALIZED (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e
+    ), c{_j}_0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM s{_j} ORDER BY vec_id LIMIT {_pq_ksub}
+    ), {_assign_cte(f"a{_j}_1", f"c{_j}_0", table=f"s{_j}", dim=_pq_dsub)},
+    {_recenter_cte(f"a{_j}_1", f"c{_j}_0", f"c{_j}_1", table=f"s{_j}", dim=_pq_dsub)},
+    {_assign_cte(f"a{_j}_2", f"c{_j}_1", table=f"s{_j}", dim=_pq_dsub)},
+    {_recenter_cte(f"a{_j}_2", f"c{_j}_1", f"c{_j}_2", table=f"s{_j}", dim=_pq_dsub)},
+    b{_j} AS MATERIALIZED (SELECT cid, c FROM c{_j}_2),
+    {_assign_cte(f"p{_j}", f"b{_j}", table=f"s{_j}", dim=_pq_dsub)},
+    dt{_j} AS (
+      SELECT c.cid, {_l2("q.v", "c.c", _pq_dsub)} AS d
+      FROM b{_j} c, (SELECT v FROM s{_j} WHERE vec_id = 0) q
+    )""")
+    _pq_body = ",\n    ".join(_pq_parts)
+    _pq_joins = " ".join(
+        f"JOIN p{_j} USING (vec_id) JOIN dt{_j} ON p{_j}.cid = dt{_j}.cid"
+        for _j in range(_pq_m)
+    ).replace("JOIN p0 USING (vec_id) ", "", 1)
+    ORACLES["ann_pq_adc_top10"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), {_pq_body}
+    SELECT p0.vec_id,
+           ROUND(dt0.d + dt1.d + dt2.d + dt3.d, 6) AS adc
+    FROM p0 {_pq_joins}
+    ORDER BY adc, p0.vec_id
+    LIMIT 10
     """
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature

@@ -810,3 +810,35 @@ def test_semdedup_vs_numpy(spark, emb):
     assert out[10]["cid"] == out[50]["cid"]
     assert out[10]["kept"] != out[50]["kept"]
     assert sum(not r["kept"] for r in out.values()) >= 1
+
+
+def test_pq_vs_numpy(spark, emb):
+    """PQ encode + ADC vs a dense numpy twin built from the SAME
+    fitted codebooks; also pins that an exact duplicate of the query
+    vector gets the minimum possible ADC distance (its own code
+    cells), i.e. quantization recall for planted twins is exact."""
+    books = S.pq_fit(emb, dim=16, m=2, ksub=4, n_iter=2)
+    codes = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in S.pq_encode(emb, books).collect()}
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    B = [np.stack([np.array(c, dtype=np.float64) for _, c in b]) for b in books]
+    for i, v in rows:
+        want = tuple(
+            int(((v[j * 8 : (j + 1) * 8] - B[j]) ** 2).sum(1).argmin())
+            for j in range(2)
+        )
+        assert codes[i] == want, f"vec {i}"
+    # ADC twin on the query = vector 10 (vec 50 is its near-identical twin)
+    q = dict(rows)[10]
+    out = S.pq_adc_topk(S.pq_encode(emb, books), [float(x) for x in q], books, k=51).collect()
+    got = {r["vec_id"]: r["adc"] for r in out}
+    dt = [((q[j * 8 : (j + 1) * 8] - B[j]) ** 2).sum(1) for j in range(2)]
+    for i, _v in rows:
+        want = round(float(dt[0][codes[i][0]] + dt[1][codes[i][1]]), 6)
+        assert abs(got[i] - want) < 1e-9, f"vec {i}"
+    # 10 and its twin 50 share codes with the query's nearest cells:
+    # both must sit at the global ADC minimum
+    mn = min(got.values())
+    assert got[10] == mn and got[50] == mn
