@@ -292,3 +292,41 @@ def test_unigram_logprob_one_row_total_broadcast(spark):
     # every node in the details listing below the tree)
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pq_encode_shuffle_free_and_adc_take_ordered(spark):
+    """PQ encode must be a pure projection (no Exchange — the codes
+    are computed where the vectors live) and ADC top-k must plan as
+    TakeOrderedAndProject over the m-lookup sum, never a global
+    sort.  Codebooks are fixed literals here: the plan shape, not
+    the fit, is under test."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = [
+        [(c, [0.1 * c + j] * 16) for c in range(4)] for j in range(4)
+    ]
+    codes = pq_encode(emb, books)
+    assert "Exchange" not in _plan(codes), "encode must be shuffle-free"
+    plan = _plan(pq_adc_topk(codes, [0.05] * 64, books, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.replace(
+        "Exchange SinglePartition", ""
+    ) or plan.count("Exchange") <= 1
+
+
+def test_semdedup_no_cartesian_pairs_join_on_cid(spark):
+    """semdedup's candidate pairs must come from a cid equi-join —
+    never a cartesian/nested-loop product — and the rank must be a
+    single window keyed by cid (one Exchange hashpartitioning(cid))."""
+    from spacetime_crawler4py_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(c, [0.2 * c - 0.3] * 64) for c in range(4)]
+    plan = _plan(semdedup(emb, eps=0.5, centroids=cents, assign="literal"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(cid" in plan
