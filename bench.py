@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_cosine_top20",
     "ann_ivf_top10",
     "sk_cms_word_counts",
+    "semdedup_kept",
+    "ann_pq_adc_top10",
 ]
 
 BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))

@@ -319,24 +319,83 @@ def pq_fit(
     deterministic rounded Lloyd as the IVF coarse quantizer, run on
     sliced vectors, so each sub-fit replays in SQL identically.
 
+    All m sub-fits are FUSED into one Spark job per Lloyd iteration:
+    the table is exploded once to (vec_id, j, subvec) rows, the
+    assign is a broadcast join on j with a min(struct(d, cid, v))
+    argmin (cid is unique per group, so the carried v never affects
+    the ordering — it just rides along to skip a join-back), and the
+    re-center is a single (j, cid, pos) average.  Subspaces never
+    mix in any group, so the math is EXACTLY m independent Lloyd
+    fits — same folds, same 6-dp rounding, same lower-cid tie-break
+    — but the job count is O(n_iter), not O(m·n_iter): at m=96 the
+    sequential form would be ~200 scheduler round-trips per fit.
+
     Returns m codebooks of [(code, sub_centroid)].  Codebook payload
     is m·ksub·(dim/m) = ksub·dim floats total — driver-tiny at any
     realistic setting (e.g. 256×768 at nbits=8 over 768-dim)."""
     dsub = dim // m
     if dsub * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    books = []
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
-        )
-        books.append(
-            kmeans_fit(
-                sub, k=ksub, n_iter=n_iter, vec_col="_sub",
-                id_col=id_col, assign="literal",
+    spark = emb.sparkSession
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub).cast(
+                        "array<double>"
+                    )
+                    for j in range(m)
+                ]
             )
+        ).alias("j", "v"),
+    )
+    init = emb.orderBy(id_col).limit(ksub).collect()
+    books = [
+        [
+            (c, [float(x) for x in r[vec_col]][j * dsub : (j + 1) * dsub])
+            for c, r in enumerate(init)
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [
+                (j, int(c), [float(x) for x in vec])
+                for j, book in enumerate(books)
+                for c, vec in book
+            ],
+            "j int, cid int, c array<double>",
         )
+        d = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        best = (
+            sub.join(F.broadcast(cdf), "j")
+            .select("vec_id", "j", F.struct(d.alias("d"), "cid", "v").alias("s"))
+            .groupBy("vec_id", "j")
+            .agg(F.min("s").alias("s"))
+        )
+        avg = (
+            best.select("j", F.col("s.cid").alias("cid"),
+                        F.posexplode("s.v").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+        )
+        rows = (
+            avg.groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("a"))
+            .collect()
+        )
+        new = {
+            (r["j"], r["cid"]): [float(x["v"]) for x in r["a"]] for r in rows
+        }
+        books = [
+            [(c, new.get((j, c), vec)) for c, vec in book]
+            for j, book in enumerate(books)
+        ]
     return books
 
 
@@ -472,7 +531,10 @@ def semdedup(
         )
     )
     w = Window.partitionBy("cid").orderBy(F.desc("d2c"), F.asc(id_col))
-    ranked = base.withColumn("rnk", F.row_number().over(w))
+    # ranked feeds both sides of the pair join AND the final left
+    # join — cache it so the assign+window lineage runs once, not 3×
+    # (same pattern as the cached shingle explode in dedup.py)
+    ranked = base.withColumn("rnk", F.row_number().over(w)).persist()
     lo = ranked.select(
         F.col("cid"), F.col("rnk").alias("rnk_lo"),
         F.col(vec_col).alias("v_lo"),
