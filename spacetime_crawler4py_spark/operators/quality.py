@@ -367,3 +367,67 @@ def hash_linear_score(
             F.lit(None).cast("double").alias("score"),
         )
     )
+
+
+def domain_rollup(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    low_q4: int = 6000,
+    block_mean_q4: int = 6800,
+    score: Column | None = None,
+) -> DataFrame:
+    """Source/domain-level quality curation (the RefinedWeb /
+    C4-style recipe: score documents, aggregate per origin, block
+    origins whose aggregate falls below a bar — URL/domain filtering
+    is the first gate of every at-scale web pipeline).
+
+    Scores are moved to an INTEGER domain before aggregation
+    (q4 = round(4dp-score · 10⁴)): integer sums are order-exact, so
+    the rollup replays bit-identically in SQL regardless of either
+    engine's float-accumulation order.  One partial-agg groupBy on
+    the domain key — the output is one row per domain, which is why
+    the blocklist broadcasts into any downstream filter at 100 TB.
+
+    Returns (source, n_docs, sum_q4, min_q4, n_low, mean_q,
+    blocked): blocked ⇔ mean q4 < ``block_mean_q4`` (compared as
+    sum_q4 < block·n, still integer-exact); n_low counts docs under
+    ``low_q4``.
+    """
+    from spacetime_crawler4py_spark.functions.text_quality import quality_score
+
+    q = score if score is not None else quality_score(F.col(text_col))
+    q4 = F.round(F.round(q, 4) * 10000).cast("long")
+    g = (
+        df.select(F.col(key_col).alias("source"), q4.alias("q4"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q4").alias("sum_q4"),
+            F.min("q4").alias("min_q4"),
+            F.sum(F.when(F.col("q4") < low_q4, 1).otherwise(0)).alias("n_low"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_q4",
+        "min_q4",
+        "n_low",
+        F.round(F.col("sum_q4") / F.col("n_docs") / 10000.0, 4).alias("mean_q"),
+        (F.col("sum_q4") < F.lit(block_mean_q4) * F.col("n_docs")).alias(
+            "blocked"
+        ),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, rollup: DataFrame, key_col: str = "source"
+) -> DataFrame:
+    """Drop every row whose domain is blocked in ``rollup``: the
+    blocked set is O(#domains) rows → broadcast left_anti, no
+    shuffle of the corpus."""
+    blocked = rollup.where(F.col("blocked")).select(
+        F.col("source").alias(key_col)
+    )
+    return df.join(F.broadcast(blocked), key_col, "left_anti")

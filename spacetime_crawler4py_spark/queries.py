@@ -845,6 +845,35 @@ def tq_quality(spark, sf_dir):
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
 
 
+@_q("dq_domain_rollup", None)  # oracle attached in _finalize
+def dq_domain_rollup(spark, sf_dir):
+    """Domain-level quality curation (operators/quality.py
+    domain_rollup): per-source doc counts, integer-exact quality
+    sums, low-quality counts, and the blocked verdict — the
+    RefinedWeb/C4 "block bad origins first" gate, one partial-agg
+    groupBy on the domain key."""
+    from spacetime_crawler4py_spark.operators.quality import domain_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_rollup(d).orderBy("source")
+
+
+@_q("dq_blocklist_kept", None)  # oracle attached in _finalize
+def dq_blocklist_kept(spark, sf_dir):
+    """Docs surviving the domain blocklist (operators/quality.py
+    blocklist_filter): the rollup's blocked rows broadcast into a
+    left_anti join — the corpus never shuffles."""
+    from spacetime_crawler4py_spark.operators.quality import (
+        blocklist_filter,
+        domain_rollup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_filter(
+        d.select("doc_id", "source"), domain_rollup(d)
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # dedup family (training-data ops; SURVEY F8/F10/F11 relatives)
 # =====================================================================
@@ -2360,6 +2389,38 @@ def _finalize() -> None:
       + CASE WHEN mw >= 3.0 AND mw <= 8.0 THEN 1.0 ELSE 0.5 END
     ) / 4.0, 4) AS q
     FROM feat
+    """
+
+    # ---- domain rollup / blocklist: the SAME per-doc quality SQL,
+    # integer-ized (q4 = round(q·10⁴)) so the per-domain sums are
+    # order-exact in both engines, aggregated per source.
+    _dq_roll = f"""
+    WITH q AS ({ORACLES["tq_quality_score"]}),
+    q4_t AS (
+      SELECT d.doc_id, d.source,
+             CAST(ROUND(q.q * 10000, 0) AS BIGINT) AS q4
+      FROM documents d JOIN q USING (doc_id)
+    ), roll AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(q4) AS BIGINT) AS sum_q4,
+             MIN(q4) AS min_q4,
+             CAST(SUM(CASE WHEN q4 < 6000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low
+      FROM q4_t GROUP BY source
+    )
+    """
+    ORACLES["dq_domain_rollup"] = _dq_roll + """
+    SELECT source, n_docs, sum_q4, min_q4, n_low,
+           ROUND(sum_q4 / n_docs / 10000.0, 4) AS mean_q,
+           sum_q4 < 6800 * n_docs AS blocked
+    FROM roll ORDER BY source
+    """
+    ORACLES["dq_blocklist_kept"] = _dq_roll + """
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source NOT IN (
+      SELECT source FROM roll WHERE sum_q4 < 6800 * n_docs
+    )
+    ORDER BY d.doc_id
     """
 
     # n-gram jaccard pairs: shingle generation via list comprehension

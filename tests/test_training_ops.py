@@ -842,3 +842,38 @@ def test_pq_vs_numpy(spark, emb):
     # both must sit at the global ADC minimum
     mn = min(got.values())
     assert got[10] == mn and got[50] == mn
+
+
+def test_domain_rollup_and_blocklist(spark):
+    """Integer-domain rollup math, the blocked verdict, and the
+    mean==threshold boundary (sum_q4 == block·n must NOT block —
+    strict less-than on integers, pinned so both engines agree
+    exactly)."""
+    from spacetime_crawler4py_spark.operators.quality import (
+        blocklist_filter,
+        domain_rollup,
+    )
+
+    rows = [
+        (0, "A", 0.9), (1, "A", 0.8), (2, "A", 0.7),
+        (3, "B", 0.3), (4, "B", 0.2),
+        (5, "C", 0.65), (6, "C", 0.71),   # mean exactly 0.68
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    roll = {
+        r["source"]: r
+        for r in domain_rollup(d, score=F.col("s")).collect()
+    }
+    assert roll["A"]["sum_q4"] == 24000 and not roll["A"]["blocked"]
+    assert roll["B"]["sum_q4"] == 5000 and roll["B"]["blocked"]
+    assert roll["B"]["n_low"] == 2 and roll["A"]["n_low"] == 0
+    assert roll["C"]["sum_q4"] == 13600 == 6800 * 2
+    assert not roll["C"]["blocked"], "boundary mean must be kept"
+    assert roll["B"]["mean_q"] == 0.25 and roll["C"]["mean_q"] == 0.68
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(
+            d, domain_rollup(d, score=F.col("s"))
+        ).collect()
+    )
+    assert kept == [0, 1, 2, 5, 6]
