@@ -2577,12 +2577,18 @@ def _finalize() -> None:
         assign: str, prev: str, out: str,
         table: str = "e", dim: int | None = None,
     ) -> str:
+        # MATERIALIZED: each re-centered codebook is referenced by
+        # both the next assign and its own re-center (and the final
+        # one by probe/encode/distance CTEs).  Inlining re-expands
+        # the whole upstream Lloyd chain per reference — exponential
+        # planner memory in the iteration depth; materializing pins
+        # each iteration to one evaluation.
         return f"""n_{out} AS (
       SELECT {assign}.cid, p.pos, ROUND(AVG({table}.v[p.pos]), 6) AS val
       FROM {assign} JOIN {table} USING (vec_id),
            (SELECT unnest(range(1, {(dim or _dim) + 1})) AS pos) p
       GROUP BY {assign}.cid, p.pos
-    ), {out} AS (
+    ), {out} AS MATERIALIZED (
       SELECT {prev}.cid, COALESCE(g.c, {prev}.c) AS c
       FROM {prev} LEFT JOIN (
         SELECT cid, list(val ORDER BY pos) AS c FROM n_{out} GROUP BY cid

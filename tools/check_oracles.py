@@ -40,6 +40,10 @@ def main():
 
     spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # explicit generous limit: DuckDB's auto-detected cap can land
+    # low under cgroup/ambient-load conditions and the unrolled-fit
+    # oracles are planner-heavy
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
