@@ -392,7 +392,12 @@ def cosine_sim(a: Column, b: Column) -> Column:
     NULL when either vector has zero norm (ANSI mode would otherwise
     raise DIVIDE_BY_ZERO): a zero vector is never a near-dup and
     never ranks in top-k — threshold filters drop the NULL, desc
-    sorts put it last."""
+    sorts put it last.  Engine note: DuckDB's
+    list_cosine_similarity yields -1.0 for the same zero-norm input;
+    both fail any ``>= eps`` gate (eps > -1) so every current oracle
+    agrees, but a query surfacing the RAW cosine of a zero-norm
+    vector would diverge — coalesce to a pinned sentinel on both
+    sides before oracle-gating such a query."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

@@ -532,9 +532,14 @@ def semdedup(
     )
     w = Window.partitionBy("cid").orderBy(F.desc("d2c"), F.asc(id_col))
     # ranked feeds both sides of the pair join AND the final left
-    # join — cache it so the assign+window lineage runs once, not 3×
-    # (same pattern as the cached shingle explode in dedup.py)
-    ranked = base.withColumn("rnk", F.row_number().over(w)).persist()
+    # join — materialize it ONCE via an eager localCheckpoint so the
+    # assign+window lineage doesn't run 3×.  localCheckpoint (not
+    # persist): it never registers in the CacheManager, so the blocks
+    # are released by the ContextCleaner when the result is dropped —
+    # a plain .persist() here leaked executor cache per call.
+    ranked = base.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     lo = ranked.select(
         F.col("cid"), F.col("rnk").alias("rnk_lo"),
         F.col(vec_col).alias("v_lo"),

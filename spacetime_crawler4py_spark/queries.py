@@ -2415,10 +2415,14 @@ def _finalize() -> None:
            sum_q4 < 6800 * n_docs AS blocked
     FROM roll ORDER BY source
     """
+    # NOT EXISTS, not NOT IN: left_anti on the Spark side KEEPS a
+    # NULL-source row, while NOT IN's NULL predicate would drop it —
+    # NOT EXISTS has the identical anti-join NULL semantics.
     ORACLES["dq_blocklist_kept"] = _dq_roll + """
     SELECT d.doc_id, d.source FROM documents d
-    WHERE d.source NOT IN (
-      SELECT source FROM roll WHERE sum_q4 < 6800 * n_docs
+    WHERE NOT EXISTS (
+      SELECT 1 FROM roll r
+      WHERE r.source = d.source AND r.sum_q4 < 6800 * r.n_docs
     )
     ORDER BY d.doc_id
     """

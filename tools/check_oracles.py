@@ -42,8 +42,17 @@ def main():
     con = duckdb.connect()
     # explicit generous limit: DuckDB's auto-detected cap can land
     # low under cgroup/ambient-load conditions and the unrolled-fit
-    # oracles are planner-heavy
-    con.execute("SET memory_limit='48GB'")
+    # oracles are planner-heavy.  Overridable (SPARK_GRAFT_DUCKDB_MEM,
+    # e.g. '8GB'); default = 40% of detected physical RAM so smaller
+    # boxes spill instead of OOM-killing.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if not mem:
+        try:
+            pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            mem = f"{max(1, int(pages * 0.4 / 2**30))}GB"
+        except (ValueError, OSError):
+            mem = "4GB"
+    con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
