@@ -404,13 +404,32 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """(id, code_0 … code_{m-1}): per subspace, the nearest codeword
-    by squared L2 (ties to the lower code).  One shuffle-free
-    projection — every argmin is an array_min over (dist, code)
-    structs on the vector slice; at deployment the codes REPLACE the
-    vector (m bytes vs dim·4), which is the whole point: a 10⁹×768-d
-    float corpus is 3 TB, its PQ codes at m=96 are 96 GB."""
+    by squared L2 (ties to the lower code).  At deployment the codes
+    REPLACE the vector (m bytes vs dim·4), which is the whole point:
+    a 10⁹×768-d float corpus is 3 TB, its PQ codes at m=96 are 96 GB.
+
+    Two bit-identical variants, picked by ``method``:
+
+    - 'literal' — shuffle-free projection; every argmin is an
+      array_min over (dist, code) structs with the codebook as plan
+      LITERALS.  Fine at toy m·ksub; at real settings (m=96,
+      ksub=256, dim=768) that is ~200k literal doubles — the exact
+      Catalyst analysis blow-up ivf_assign_join exists to avoid.
+    - 'join' — the codebooks ride a broadcast TABLE (pq_encode_join):
+      plan O(1) in m·ksub, the deployment path.
+
+    'auto' switches to 'join' at m·ksub ≥ 64 (same convention as the
+    IVF assign).  Both variants share every float op, fold order and
+    tie-break, so one SQL oracle gates both."""
+    if method not in ("literal", "join", "auto"):
+        raise ValueError(f"method must be literal|join|auto, got {method!r}")
+    if method == "auto":
+        method = "join" if len(codebooks) * len(codebooks[0]) >= 64 else "literal"
+    if method == "join":
+        return pq_encode_join(emb, codebooks, vec_col, id_col)
     cols = []
     dsub = len(codebooks[0][0][1])
     for j, book in enumerate(codebooks):
@@ -427,12 +446,81 @@ def pq_encode(
     return emb.select(F.col(id_col), *cols)
 
 
+def pq_encode_join(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-(m·ksub) encode: same (id, code_0…code_{m-1}) contract
+    as the literal path but the codebooks are a broadcast TABLE —
+    the same shape pq_fit's fused assign already uses.
+
+    The vector is exploded ONCE to (id, j, subvec) rows, broadcast-
+    hash-joined to the (j, code, sub_centroid) codebook on j (ksub
+    fan-out per row), and the per-(id, j) argmin is a map-side-
+    combinable min(struct(d, code)) — the shuffle carries one row
+    per (id, j), never the ×ksub candidates.  Codes pivot back to
+    columns via one more (id) combine.  Distances are the IDENTICAL
+    left-to-right zip_with/aggregate double fold as _sq_dist and the
+    tie-break (lower code) matches array_min struct ordering, so the
+    two encode paths agree bit-for-bit under the same SQL oracle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (j, int(code), [float(x) for x in vec])
+            for j, book in enumerate(codebooks)
+            for code, vec in book
+        ],
+        "j int, code int, c array<double>",
+    )
+    sub = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub).cast(
+                        "array<double>"
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "v"),
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        sub.join(F.broadcast(cdf), "j")
+        .select(
+            F.col(id_col),
+            F.col("j"),
+            F.struct(d.alias("d"), F.col("code")).alias("s"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("s")["code"].alias("code"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))
+        .select(
+            F.col(id_col),
+            *[F.col("a")[j]["code"].alias(f"code_{j}") for j in range(m)],
+        )
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     query_vec: list[float],
     codebooks: list[list[tuple[int, list[float]]]],
     k: int = 10,
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: the query is sliced
     once on the driver into an m×ksub distance table (python doubles
@@ -440,9 +528,24 @@ def pq_adc_topk(
     chains), and every row's approximate distance is m array lookups
     + an m-term sum — no vector arithmetic touches the scan, which
     is what makes PQ the 10⁹-vector RAM path.  Plans as
-    TakeOrderedAndProject on (adc, id)."""
+    TakeOrderedAndProject on (adc, id).
+
+    Table delivery, picked by ``method`` ('auto' → 'join' at
+    m·ksub ≥ 64): 'literal' embeds the m×ksub doubles in the
+    projection (24k literals at m=96/ksub=256 — plan bloat);
+    'join' ships ONE row carrying the whole table as
+    array<array<double>> through a broadcast hash join, so the plan
+    is O(m) element_at chains and O(1) in ksub.  The per-row sum is
+    the same left-to-right j-order chain in both, so one oracle
+    gates both."""
     dsub = len(codebooks[0][0][1])
-    expr = None
+    if method not in ("literal", "join", "auto"):
+        raise ValueError(f"method must be literal|join|auto, got {method!r}")
+    if method == "auto":
+        method = (
+            "join" if len(codebooks) * len(codebooks[0]) >= 64 else "literal"
+        )
+    tables = []
     for j, book in enumerate(codebooks):
         qs = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
         dt = []
@@ -451,10 +554,37 @@ def pq_adc_topk(
             for a, b in zip(qs, vec):
                 acc += (a - b) * (a - b)
             dt.append(acc)
-        lookup = F.element_at(
-            F.array(*[F.lit(d) for d in dt]), F.col(f"code_{j}") + 1
+        tables.append(dt)
+    expr = None
+    if method == "join":
+        spark = codes.sparkSession
+        dtdf = spark.createDataFrame(
+            [(0, tables)], "_r int, _dt array<array<double>>"
         )
-        expr = lookup if expr is None else expr + lookup
+        # always-equal join key derived from row columns on BOTH
+        # sides so Catalyst can't constant-fold it into a nested-loop
+        # product (same trick as ivf_assign_join)
+        codes = codes.withColumn(
+            "_one", F.pmod(F.col("code_0").cast("long"), F.lit(1))
+        ).join(
+            F.broadcast(
+                dtdf.withColumn(
+                    "_one", F.pmod(F.col("_r").cast("long"), F.lit(1))
+                ).drop("_r")
+            ),
+            "_one",
+        )
+        for j in range(len(codebooks)):
+            lookup = F.element_at(
+                F.element_at(F.col("_dt"), j + 1), F.col(f"code_{j}") + 1
+            )
+            expr = lookup if expr is None else expr + lookup
+    else:
+        for j, dt in enumerate(tables):
+            lookup = F.element_at(
+                F.array(*[F.lit(d) for d in dt]), F.col(f"code_{j}") + 1
+            )
+            expr = lookup if expr is None else expr + lookup
     return (
         codes.select(F.col(id_col).alias("vec_id"), F.round(expr, 6).alias("adc"))
         .orderBy(F.asc("adc"), F.asc("vec_id"))

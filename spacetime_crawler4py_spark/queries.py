@@ -1611,8 +1611,33 @@ def ann_pq_adc(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     books = pq_fit(e, dim=64, m=4, ksub=16, n_iter=2)
-    codes = pq_encode(e, books)
-    return pq_adc_topk(codes, q, books, k=10)
+    codes = pq_encode(e, books, method="literal")
+    return pq_adc_topk(codes, q, books, k=10, method="literal")
+
+
+@_q("ann_pq_adc_join_top10", None)  # oracle attached in _finalize (8 sub-fits)
+def ann_pq_adc_join(spark, sf_dir):
+    """PQ ANN through the SCALE path (operators/similarity.py
+    pq_encode_join + pq_adc_topk method='join'): m=8 × ksub=32 with
+    the codebooks riding a broadcast TABLE (explode → broadcast hash
+    join on j → map-side min(struct) argmin → pivot) and the ADC
+    distance table shipped as ONE broadcast row — the plan is O(1)
+    in m·ksub where the literal path embeds m·ksub·dsub doubles
+    (~200k at the real m=96/ksub=256 point).  Gated by the same
+    unrolled-sub-fit SQL oracle shape as ann_pq_adc_top10, generated
+    at m=8/ksub=32: a hash match proves the join encode and the
+    broadcast ADC are bit-identical to the literal math."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = pq_fit(e, dim=64, m=8, ksub=32, n_iter=2)
+    codes = pq_encode(e, books, method="join")
+    return pq_adc_topk(codes, q, books, k=10, method="join")
 
 
 @_q("semdedup_kept", None)  # oracle attached in _finalize (unrolled Lloyd)
@@ -2678,41 +2703,50 @@ def _finalize() -> None:
     # replayed in SQL.  Final codebooks are MATERIALIZED (each is
     # referenced by both the encode and the distance table; inlining
     # would replay the sub-fit per reference).
-    _pq_m, _pq_dsub, _pq_ksub = 4, 16, 16
-    _pq_parts = []
-    for _j in range(_pq_m):
-        lo, hi = _j * _pq_dsub + 1, (_j + 1) * _pq_dsub
-        _pq_parts.append(f"""s{_j} AS MATERIALIZED (
+    def _pq_oracle(m: int, ksub: int) -> str:
+        """Parameterized so the literal-path row (m=4, ksub=16) and
+        the broadcast-join-path row (m=8, ksub=32) share ONE oracle
+        shape — the two Spark encode/ADC variants are bit-identical
+        by contract, so the same SQL gates both."""
+        dsub = _dim // m
+        parts = []
+        for _j in range(m):
+            lo, hi = _j * dsub + 1, (_j + 1) * dsub
+            parts.append(f"""s{_j} AS MATERIALIZED (
       SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e
     ), c{_j}_0 AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
-      FROM s{_j} ORDER BY vec_id LIMIT {_pq_ksub}
-    ), {_assign_cte(f"a{_j}_1", f"c{_j}_0", table=f"s{_j}", dim=_pq_dsub)},
-    {_recenter_cte(f"a{_j}_1", f"c{_j}_0", f"c{_j}_1", table=f"s{_j}", dim=_pq_dsub)},
-    {_assign_cte(f"a{_j}_2", f"c{_j}_1", table=f"s{_j}", dim=_pq_dsub)},
-    {_recenter_cte(f"a{_j}_2", f"c{_j}_1", f"c{_j}_2", table=f"s{_j}", dim=_pq_dsub)},
+      FROM s{_j} ORDER BY vec_id LIMIT {ksub}
+    ), {_assign_cte(f"a{_j}_1", f"c{_j}_0", table=f"s{_j}", dim=dsub)},
+    {_recenter_cte(f"a{_j}_1", f"c{_j}_0", f"c{_j}_1", table=f"s{_j}", dim=dsub)},
+    {_assign_cte(f"a{_j}_2", f"c{_j}_1", table=f"s{_j}", dim=dsub)},
+    {_recenter_cte(f"a{_j}_2", f"c{_j}_1", f"c{_j}_2", table=f"s{_j}", dim=dsub)},
     b{_j} AS MATERIALIZED (SELECT cid, c FROM c{_j}_2),
-    {_assign_cte(f"p{_j}", f"b{_j}", table=f"s{_j}", dim=_pq_dsub)},
+    {_assign_cte(f"p{_j}", f"b{_j}", table=f"s{_j}", dim=dsub)},
     dt{_j} AS (
-      SELECT c.cid, {_l2("q.v", "c.c", _pq_dsub)} AS d
+      SELECT c.cid, {_l2("q.v", "c.c", dsub)} AS d
       FROM b{_j} c, (SELECT v FROM s{_j} WHERE vec_id = 0) q
     )""")
-    _pq_body = ",\n    ".join(_pq_parts)
-    _pq_joins = " ".join(
-        f"JOIN p{_j} USING (vec_id) JOIN dt{_j} ON p{_j}.cid = dt{_j}.cid"
-        for _j in range(_pq_m)
-    ).replace("JOIN p0 USING (vec_id) ", "", 1)
-    ORACLES["ann_pq_adc_top10"] = f"""
+        body = ",\n    ".join(parts)
+        joins = " ".join(
+            f"JOIN p{_j} USING (vec_id) JOIN dt{_j} ON p{_j}.cid = dt{_j}.cid"
+            for _j in range(m)
+        ).replace("JOIN p0 USING (vec_id) ", "", 1)
+        adc_sum = " + ".join(f"dt{_j}.d" for _j in range(m))
+        return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-    ), {_pq_body}
+    ), {body}
     SELECT p0.vec_id,
-           ROUND(dt0.d + dt1.d + dt2.d + dt3.d, 6) AS adc
-    FROM p0 {_pq_joins}
+           ROUND({adc_sum}, 6) AS adc
+    FROM p0 {joins}
     ORDER BY adc, p0.vec_id
     LIMIT 10
     """
+
+    ORACLES["ann_pq_adc_top10"] = _pq_oracle(m=4, ksub=16)
+    ORACLES["ann_pq_adc_join_top10"] = _pq_oracle(m=8, ksub=32)
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

@@ -330,3 +330,59 @@ def test_semdedup_no_cartesian_pairs_join_on_cid(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(cid" in plan
+
+
+def test_pq_join_encode_and_adc_are_broadcast_not_literals(spark):
+    """The PQ scale path must keep the plan O(1) in m·ksub: encode
+    fans out through a BroadcastHashJoin on j with a map-side
+    min(struct) argmin (codebooks ride the broadcast relation, never
+    the Catalyst expression), and ADC ships its m×ksub distance
+    table as ONE broadcast row.  The literal encode at the same
+    setting embeds m·ksub·dsub doubles — pin that the join plans
+    stay far below that, and that both paths agree row-for-row."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_encode_join,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb, dim=64, m=8, ksub=32, n_iter=1)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    joined = pq_encode_join(emb, books)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan  # map-side argmin combine
+    lit = pq_encode(emb, books, method="literal")
+    assert len(plan) < len(_plan(lit)) / 5
+    j = {tuple(r) for r in joined.collect()}
+    l = {tuple(r) for r in lit.collect()}
+    assert j == l
+
+    adc = pq_adc_topk(joined, q, books, k=10, method="join")
+    aplan = _plan(adc)
+    assert "TakeOrderedAndProject" in aplan
+    assert "BroadcastHashJoin" in aplan
+    assert "CartesianProduct" not in aplan
+    assert "BroadcastNestedLoopJoin" not in aplan
+    alit = pq_adc_topk(lit, q, books, k=10, method="literal")
+    assert [tuple(r) for r in adc.collect()] == [tuple(r) for r in alit.collect()]
+
+    # O(1)-in-ksub pin: growing ksub 8→64 must not grow the join
+    # plans (the table rides the broadcast relation), while the
+    # literal plans blow up with it
+    def _books(ksub):
+        return [[(c, [0.1 * c + j] * 8) for c in range(ksub)] for j in range(8)]
+
+    qz = [0.05] * 64
+    for fn in (
+        lambda b: pq_encode_join(emb, b),
+        lambda b: pq_adc_topk(pq_encode_join(emb, b), qz, b, method="join"),
+    ):
+        p8, p64 = len(_plan(fn(_books(8)))), len(_plan(fn(_books(64))))
+        assert p64 < p8 * 1.15, "join plan must be O(1) in ksub"
+    l8 = len(_plan(pq_encode(emb, _books(8), method="literal")))
+    l64 = len(_plan(pq_encode(emb, _books(64), method="literal")))
+    assert l64 > l8 * 2, "sanity: literal plan grows with ksub"
