@@ -601,6 +601,7 @@ def semdedup(
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     assign: str = "auto",
+    max_cluster_size: int | None = 4096,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup by clustering embeddings then dropping, within each
@@ -619,10 +620,28 @@ def semdedup(
     within-cluster — O(Σ|cluster|²) total, the paper's cost model
     (k grows with n to hold cluster size ~10⁴ at 10⁹ docs).  The
     rank is one window shuffle keyed by cid; candidate pairs are a
-    cid equi-join (AQE skew-split applies to oversized clusters);
-    distance/cosine math is the same JVM double fold as the IVF
-    operators, rounded (6 dp dist, 4 dp cosine) so the fit AND the
-    drop decisions replay bit-identically in the SQL oracle.
+    cid equi-join; distance/cosine math is the same JVM double fold
+    as the IVF operators, rounded (6 dp dist, 4 dp cosine) so the
+    fit AND the drop decisions replay bit-identically in the SQL
+    oracle.
+
+    ``max_cluster_size`` guards the degenerate mega-cluster (near-
+    constant boilerplate embeddings — common in web corpora) that
+    "k grows with n" can't prevent: clusters above the cap are
+    sub-sharded by rank range into ⌈|c|/cap⌉ chunks and the pair
+    join is re-keyed from cid to (cid, chunk_lo, chunk_hi), each
+    side exploding only to the chunk-pairs the upper-triangular
+    predicate can match.  The compared pair SET is unchanged (the
+    rnk_lo < rnk_hi predicate is preserved across chunks), so the
+    result is identical — but no join key matches more than
+    cap² pairs, where the flat cid key degrades to |c|² on one
+    task regardless of AQE skew-split (a single key can't be
+    split).  Shuffle volume grows to O(|c|²/cap) key-replicated
+    rows — within a constant factor of the pairwise work the
+    predicate itself demands.  None disables the guard.  (The rank
+    window still funnels a mega-cluster through one task for the
+    O(|c| log |c|) sort — acceptable far beyond the |c|² blow-up
+    this caps.)
 
     Returns (id, cid, d2c, kept) — kept=false rows are the semantic
     duplicates to discard.
@@ -670,16 +689,44 @@ def semdedup(
     ranked = base.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
-    lo = ranked.select(
-        F.col("cid"), F.col("rnk").alias("rnk_lo"),
-        F.col(vec_col).alias("v_lo"),
-    )
-    hi = ranked.select(
-        F.col("cid"), F.col(id_col).alias("_hi_id"),
-        F.col("rnk").alias("rnk_hi"), F.col(vec_col).alias("v_hi"),
-    )
+    if max_cluster_size is not None:
+        # per-cluster size (= max rnk): k-row aggregate, broadcast
+        # back so the big side never reshuffles for it
+        sizes = ranked.groupBy("cid").agg(F.max("rnk").alias("_csz"))
+        chunked = ranked.join(F.broadcast(sizes), "cid").select(
+            "*",
+            F.floor((F.col("rnk") - 1) / max_cluster_size).alias("_sub"),
+            F.ceil(F.col("_csz") / max_cluster_size).alias("_nsub"),
+        )
+        join_keys = ["cid", "_l", "_h"]
+        lo = chunked.select(
+            F.col("cid"), F.col("rnk").alias("rnk_lo"),
+            F.col(vec_col).alias("v_lo"),
+            F.col("_sub").alias("_l"),
+            F.explode(
+                F.sequence(F.col("_sub"), F.col("_nsub") - 1)
+            ).alias("_h"),
+        )
+        hi = chunked.select(
+            F.col("cid"), F.col(id_col).alias("_hi_id"),
+            F.col("rnk").alias("rnk_hi"), F.col(vec_col).alias("v_hi"),
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_sub"))).alias(
+                "_l"
+            ),
+            F.col("_sub").alias("_h"),
+        )
+    else:
+        join_keys = ["cid"]
+        lo = ranked.select(
+            F.col("cid"), F.col("rnk").alias("rnk_lo"),
+            F.col(vec_col).alias("v_lo"),
+        )
+        hi = ranked.select(
+            F.col("cid"), F.col(id_col).alias("_hi_id"),
+            F.col("rnk").alias("rnk_hi"), F.col(vec_col).alias("v_hi"),
+        )
     dropped = (
-        lo.join(hi, "cid")
+        lo.join(hi, join_keys)
         .where(F.col("rnk_lo") < F.col("rnk_hi"))
         .where(
             F.round(

@@ -812,6 +812,28 @@ def test_semdedup_vs_numpy(spark, emb):
     assert sum(not r["kept"] for r in out.values()) >= 1
 
 
+def test_semdedup_cluster_cap_sub_shards_identically(spark, emb):
+    """One centroid forces every point into a single mega-cluster —
+    the degenerate skew a web corpus produces from boilerplate
+    embeddings.  With max_cluster_size far below the cluster size the
+    pair join is re-keyed to (cid, chunk_lo, chunk_hi) rank-range
+    sub-shards; the drop decisions must be IDENTICAL to the flat cid
+    join (the upper-triangular predicate is preserved across chunks)
+    while no join key can match more than cap² pairs."""
+    cents = [(0, [0.0] * 16)]
+    capped = S.semdedup(emb, eps=0.8, centroids=cents, max_cluster_size=10)
+    flat = S.semdedup(emb, eps=0.8, centroids=cents, max_cluster_size=None)
+    c = {r["vec_id"]: (r["cid"], r["d2c"], r["kept"]) for r in capped.collect()}
+    f = {r["vec_id"]: (r["cid"], r["d2c"], r["kept"]) for r in flat.collect()}
+    assert c == f and len(c) == 51
+    assert not c[50][2] or not c[10][2]  # the planted near-pair collapses
+    # the pair join really is keyed on the sub-shard columns
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "_nsub" in plan
+    flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "_nsub" not in flat_plan
+
+
 def test_pq_vs_numpy(spark, emb):
     """PQ encode + ADC vs a dense numpy twin built from the SAME
     fitted codebooks; also pins that an exact duplicate of the query
