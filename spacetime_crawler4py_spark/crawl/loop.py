@@ -74,6 +74,7 @@ class CrawlEngine:
         robots_path: str | None = None,
         revalidate_on_resume: bool = False,
         order: str = "lifo",  # "lifo" (reference parity) | "fifo_per_host"
+        compact_every: int = 0,  # fold frontier logs every N batches (0 = off)
     ):
         self.spark = spark
         self.store = FrontierStore(spark, state_dir)
@@ -97,6 +98,13 @@ class CrawlEngine:
         self.bloom_refresh = bloom_refresh_batches
         self.parity = strict_reference_parity
         self.order = order
+        # frontier-log maintenance cadence: every N committed batches,
+        # fold effective state into a snapshot so pending() stops
+        # rescanning the full logs (FrontierStore.compact()).  The
+        # crawl loop itself needs no other change — snapshot rows keep
+        # their original batch_id, so the bloom covered-set delta
+        # logic below is compaction-oblivious.
+        self.compact_every = compact_every
         # robots table (north_rule T6; absent in the reference):
         # disallowed URLs are excluded at schedule time, and per-host
         # crawl delays override the politeness default.
@@ -551,6 +559,8 @@ class CrawlEngine:
             if meta["n_batch"] == 0:
                 break
             n += 1
+            if self.compact_every and n % self.compact_every == 0:
+                self.store.compact()
         return n
 
     # ------------------------------------------------------------------

@@ -72,6 +72,13 @@ COMPLETED_SCHEMA = StructType(
     ]
 )
 
+# compacted-snapshot "done" rows: the full discovered row plus the
+# latest completion batch folded in (the snapshot's pseudo-completion)
+DONE_SCHEMA = StructType(
+    list(DISCOVERED_SCHEMA.fields)
+    + [StructField("completed_batch_id", LongType())]
+)
+
 # crawl-order log: one row per scheduled fetch, written distributed
 # by the crawl loop (doubles as the completion log — see completed())
 CRAWL_ORDER_SCHEMA = StructType(
@@ -141,30 +148,43 @@ class FrontierStore:
         os.replace(tmp, path)
 
     @staticmethod
-    def membership_filter(ids: list[int]) -> F.Column:
-        """Column predicate: batch_id is a MEMBER of ``ids``.
-
-        Sorted ids compress to contiguous runs (one per batch, per
-        namespace) so the predicate is a handful of BETWEENs —
-        O(gaps), not O(batches) — which Catalyst can push into the
-        parquet partition pruning on ``batch_id=``-partitioned logs.
-        """
+    def compress_ids(ids: list[int]) -> list[list[int]]:
+        """Sorted ids → contiguous [lo, hi] runs (one per batch run,
+        per namespace) — O(gaps) storage for markers and predicates."""
         ids = sorted(ids)
         if not ids:
-            return F.lit(False)
-        ranges: list[tuple[int, int]] = []
+            return []
+        ranges: list[list[int]] = []
         lo = prev = ids[0]
         for i in ids[1:]:
             if i == prev + 1:
                 prev = i
                 continue
-            ranges.append((lo, prev))
+            ranges.append([lo, prev])
             lo = prev = i
-        ranges.append((lo, prev))
+        ranges.append([lo, prev])
+        return ranges
+
+    @staticmethod
+    def ranges_filter(ranges: list[list[int]]) -> F.Column:
+        """Column predicate: batch_id falls in any [lo, hi] range."""
+        if not ranges:
+            return F.lit(False)
         cond = F.col("batch_id").between(ranges[0][0], ranges[0][1])
         for a, b in ranges[1:]:
             cond = cond | F.col("batch_id").between(a, b)
         return cond
+
+    @classmethod
+    def membership_filter(cls, ids: list[int]) -> F.Column:
+        """Column predicate: batch_id is a MEMBER of ``ids``.
+
+        Sorted ids compress to contiguous runs so the predicate is a
+        handful of BETWEENs — O(gaps), not O(batches) — which Catalyst
+        can push into the parquet partition pruning on
+        ``batch_id=``-partitioned logs.
+        """
+        return cls.ranges_filter(cls.compress_ids(ids))
 
     def committed_filter(self) -> F.Column:
         """Column predicate: batch_id is a MEMBER of the committed set.
@@ -175,6 +195,37 @@ class FrontierStore:
         """
         return self.membership_filter(self.committed_batches())
 
+    # --------------------------------------------------- snapshot markers
+
+    def snapshot_ids(self) -> list[int]:
+        d = os.path.join(self.dir, "commits")
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                out.append(int(f[len("snapshot-") : -len(".json")]))
+        return sorted(out)
+
+    def latest_snapshot(self) -> dict | None:
+        """Newest committed compaction snapshot ({sid, folded}) or None.
+
+        The marker is the atomic commit point of ``compact()`` — a
+        snapshot whose data files exist but whose marker does not is
+        invisible, exactly like an uncommitted batch.
+        """
+        ids = self.snapshot_ids()
+        if not ids:
+            return None
+        with open(
+            os.path.join(self.dir, "commits", f"snapshot-{ids[-1]}.json")
+        ) as f:
+            return json.load(f)
+
+    def _snapshot_df(self, snap: dict, which: str, schema: StructType) -> DataFrame:
+        path = os.path.join(self.dir, "snapshot", f"snap={snap['sid']}", which)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
     def _read(self, name: str, schema: StructType) -> DataFrame:
         path = os.path.join(self.dir, name)
         if not os.path.exists(path):
@@ -182,9 +233,15 @@ class FrontierStore:
         df = self.spark.read.schema(schema).parquet(path)
         # uncommitted batch data (crash between write and marker)
         # must be invisible: filter to committed-set MEMBERSHIP.
-        return df.where(self.committed_filter()).select(
-            [f.name for f in schema.fields]
-        )
+        df = df.where(self.committed_filter())
+        # batches folded into a committed snapshot are served from the
+        # snapshot; any raw partitions still on disk (crash between
+        # the snapshot marker and the folded-partition delete) must
+        # not be double-read.
+        snap = self.latest_snapshot()
+        if snap is not None:
+            df = df.where(~self.ranges_filter(snap["folded"]))
+        return df.select([f.name for f in schema.fields])
 
     # -------------------------------------------------- crash recovery
 
@@ -238,11 +295,28 @@ class FrontierStore:
     # ------------------------------------------------------------- state
 
     def discovered(self) -> DataFrame:
-        return self._read("discovered", DISCOVERED_SCHEMA)
+        """All frontier rows ever discovered = snapshot (pending ∪
+        done, original columns preserved) ∪ post-snapshot raw log.
 
-    def completed(self) -> DataFrame:
-        """Completion flips: union of the explicit completed log and
-        the crawl-order log's (url_hash, batch_id) projection.
+        Snapshot rows keep their original ``batch_id`` so downstream
+        covered-set predicates (the crawl loop's bloom delta filter)
+        keep working across a compaction.
+        """
+        base = self._read("discovered", DISCOVERED_SCHEMA)
+        snap = self.latest_snapshot()
+        if snap is None:
+            return base
+        cols = [f.name for f in DISCOVERED_SCHEMA.fields]
+        return (
+            self._snapshot_df(snap, "pending", DISCOVERED_SCHEMA)
+            .unionByName(self._snapshot_df(snap, "done", DONE_SCHEMA).select(cols))
+            .unionByName(base)
+        )
+
+    def _completed_recent(self) -> DataFrame:
+        """Post-snapshot completion flips: union of the explicit
+        completed log and the crawl-order log's (url_hash, batch_id)
+        projection.
 
         The crawl loop writes its schedule ONCE per batch — a single
         distributed write to ``crawl_order/`` — and that log doubles
@@ -252,7 +326,8 @@ class FrontierStore:
         direct ``append_completed`` callers (tests, external tools).
         Column pruning pushes the 2-column projection into the
         parquet scan, so doubling as the order log costs no extra
-        bytes here.
+        bytes here.  Folded batches are excluded (``_read``) — their
+        flips live in the snapshot's ``done`` rows.
         """
         parts = []
         if os.path.exists(os.path.join(self.dir, "completed")):
@@ -269,6 +344,19 @@ class FrontierStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def completed(self) -> DataFrame:
+        """Completion flips: the snapshot's folded pseudo-completions
+        (one row per effectively-done url, carrying its true latest
+        completion batch) ∪ post-snapshot flips."""
+        recent = self._completed_recent()
+        snap = self.latest_snapshot()
+        if snap is None:
+            return recent
+        folded = self._snapshot_df(snap, "done", DONE_SCHEMA).select(
+            "url_hash", F.col("completed_batch_id").alias("batch_id")
+        )
+        return folded.unionByName(recent)
 
     def expired(self) -> DataFrame:
         """Recrawl/TTL expiry log: completions revoked append-only.
@@ -294,7 +382,21 @@ class FrontierStore:
         """
         if not os.path.exists(os.path.join(self.dir, "expired")):
             # fast path (no expiry ever issued): plain anti-join —
-            # no extra aggregation shuffle in the steady-state loop
+            # no extra aggregation shuffle in the steady-state loop.
+            snap = self.latest_snapshot()
+            if snap is not None:
+                # compacted fast path: the snapshot's pending rows ∪
+                # post-snapshot discoveries, anti-joined against ONLY
+                # the post-snapshot flips.  The done snapshot (the
+                # bulk of a mature frontier) is never scanned —
+                # pending() cost is O(pending + recent), not
+                # O(full discovered log), per batch.
+                recent = self._read("discovered", DISCOVERED_SCHEMA)
+                return (
+                    self._snapshot_df(snap, "pending", DISCOVERED_SCHEMA)
+                    .unionByName(recent)
+                    .join(self._completed_recent(), "url_hash", "left_anti")
+                )
             return self.discovered().join(
                 self.completed(), "url_hash", "left_anti"
             )
@@ -315,6 +417,133 @@ class FrontierStore:
     def max_seq(self) -> int:
         row = self.discovered().agg(F.max("seq").alias("m")).collect()[0]
         return row["m"] if row["m"] is not None else -1
+
+    # -------------------------------------------------------- compaction
+
+    def compact(self) -> dict:
+        """Fold effective frontier state into a committed snapshot.
+
+        ``pending()`` otherwise anti-joins the FULL discovered log
+        against the FULL completion log every batch — at 10^10
+        discovered rows that per-batch rescan is the dominant
+        recurring cost.  Compaction is the Iceberg-maintenance twin
+        of the commit marker: it materializes
+
+        - ``snapshot/snap=<sid>/pending/``  discovered rows with no
+          effective completion (full DISCOVERED_SCHEMA columns),
+        - ``snapshot/snap=<sid>/done/``     effectively-completed rows
+          plus ``completed_batch_id`` (their latest completion batch,
+          the folded pseudo-completion — expiry semantics survive:
+          a post-snapshot expiry with a higher batch id revokes it),
+
+        then writes ``commits/snapshot-<sid>.json`` LAST (the atomic
+        commit point, carrying the folded batch-id ranges), and only
+        then deletes the folded raw partitions + the previous
+        snapshot.  A crash anywhere leaves a consistent store: data
+        without a marker is invisible; folded raw partitions that
+        outlive the marker are excluded by ``_read``'s folded filter
+        until a later cleanup removes them.
+
+        ``crawl_order/`` files are never deleted — they are the
+        golden lineage/order log; only their *completion projection*
+        is served from the snapshot afterwards.
+
+        After compaction, ``pending()`` reads O(pending + recent
+        batches) and the bloom/cuckoo seen-filter rebuild scans the
+        two snapshot dirs (large sequential files) instead of
+        thousands of per-batch partitions.  Returns fold stats.
+        """
+        committed = self.committed_batches()
+        if not committed:
+            return {"sid": None, "n_pending": 0, "n_done": 0}
+        prev = self.latest_snapshot()
+        sid = (prev["sid"] + 1) if prev else 1
+        snap_root = os.path.join(self.dir, "snapshot")
+        new_dir = os.path.join(snap_root, f"snap={sid}")
+        # a crashed earlier attempt at this sid never committed —
+        # its files are invisible; clear them before rebuilding
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)
+
+        disc = self.discovered()
+        comp = self.completed().groupBy("url_hash").agg(
+            F.max("batch_id").alias("completed_batch_id")
+        )
+        exp = (
+            self.expired()
+            .groupBy("url_hash")
+            .agg(F.max("batch_id").alias("_e"))
+        )
+        effective = (
+            comp.join(exp, "url_hash", "left")
+            .where(
+                F.col("_e").isNull()
+                | (F.col("completed_batch_id") > F.col("_e"))
+            )
+            .drop("_e")
+        )
+        cols = [f.name for f in DISCOVERED_SCHEMA.fields]
+        done = disc.join(effective, "url_hash", "inner").select(
+            *cols, "completed_batch_id"
+        )
+        pend = disc.join(effective.select("url_hash"), "url_hash", "left_anti")
+        # data files first (partition-friendly layout: host_bucket is
+        # the politeness scheduler's pruning key; on a real cluster
+        # these writes are Iceberg rewrite_data_files with the same
+        # clustering), marker last
+        pend.select(cols).repartition("host_bucket").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(new_dir, "pending"))
+        done.repartition("host_bucket").write.mode("overwrite").parquet(
+            os.path.join(new_dir, "done")
+        )
+        n_pending = self._snapshot_df(
+            {"sid": sid}, "pending", DISCOVERED_SCHEMA
+        ).count()
+        n_done = self._snapshot_df({"sid": sid}, "done", DONE_SCHEMA).count()
+
+        marker = os.path.join(self.dir, "commits", f"snapshot-{sid}.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "sid": sid,
+                    "folded": self.compress_ids(committed),
+                    "ts": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, marker)
+
+        # ---- post-commit cleanup (crash-safe: everything below is
+        # already invisible to readers)
+        folded = set(committed)
+        for name in ("discovered", "completed", "expired"):
+            d = os.path.join(self.dir, name)
+            if not os.path.isdir(d):
+                continue
+            for entry in os.listdir(d):
+                p = os.path.join(d, entry)
+                if entry.startswith("batch_id="):
+                    try:
+                        bid = int(entry.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid in folded:
+                        shutil.rmtree(p)
+                else:
+                    m = _PART_FILE_RE.match(entry)
+                    if m and int(m.group(1)) in folded:
+                        os.remove(p)
+        for entry in os.listdir(snap_root):
+            if entry.startswith("snap=") and entry != f"snap={sid}":
+                shutil.rmtree(os.path.join(snap_root, entry))
+        for old in self.snapshot_ids():
+            if old != sid:
+                os.remove(
+                    os.path.join(self.dir, "commits", f"snapshot-{old}.json")
+                )
+        return {"sid": sid, "n_pending": n_pending, "n_done": n_done}
 
     # ------------------------------------------------------------ writes
 

@@ -139,6 +139,36 @@ def test_expire_and_recrawl(spark, corpus80, tmp_path):
     ).seen_set()                                     # seen set unchanged
 
 
+def test_compaction_mid_crawl_preserves_golden(spark, corpus80, engine80, tmp_path):
+    """Frontier-log compaction forced every 2 batches (and across a
+    resume) must not change the seen set, the crawl order, or the
+    bloom-delta dedup — compaction is a physical re-layout only."""
+    import os
+
+    corpus_dir, _ = corpus80
+    eng = _engine(
+        spark, tmp_path / "state", corpus_dir, compact_every=2,
+        bloom_refresh_batches=3,  # force rebuilds from the snapshot too
+    )
+    eng.run(max_batches=3)
+    assert eng.store.latest_snapshot() is not None
+    # resume with a NEW engine on the compacted store, compacting on
+    resumed = _engine(spark, tmp_path / "state", corpus_dir, compact_every=2)
+    resumed.run()
+    assert resumed.seen_set() == engine80.seen_set()
+    assert resumed.crawl_order() == engine80.crawl_order()
+    # the folded per-batch partitions are actually gone
+    snap = resumed.store.latest_snapshot()
+    disc_dir = os.path.join(str(tmp_path / "state"), "discovered")
+    folded = {b for lo, hi in snap["folded"] for b in range(lo, hi + 1)}
+    on_disk = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(disc_dir)
+        if e.startswith("batch_id=")
+    }
+    assert not (on_disk & folded)
+
+
 def test_oracle_restart_rebuild_parity(spark, tmp_path_factory):
     """Reference resume semantics (frontier.py:38-48): after a
     mid-crawl death, the TBD stack is rebuilt from the save file
