@@ -592,6 +592,133 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
+    method: str = "auto",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, §IV): the composed 10⁹-vector
+    serving layout both halves were built for — a coarse IVF
+    quantizer prunes the scan to ``nprobe`` cells, and ranking inside
+    the probed cells is asymmetric distance over PQ codes of the
+    RESIDUALS (v − centroid), never the vectors themselves.
+
+    Pipeline (every stage the already-oracle-gated primitive):
+
+    1. coarse fit — ``kmeans_fit`` (rounded deterministic Lloyd);
+    2. assign + residuals — one broadcast join on cid; the residual
+       is an exact double ``zip_with`` subtract (centroids are
+       6-dp-rounded by the fit contract, so residuals replay
+       bit-identically in SQL);
+    3. ``pq_fit`` on the residual table (m sub-fits fused to one job
+       per iteration), ``pq_encode`` to (id, cid, code_0…code_{m-1});
+    4. probe — driver-side nearest-``nprobe`` cells (k·dim floats);
+    5. ADC — ONE distance table per probed cell, built from the
+       query's per-cell residual (q − c_cid) and shipped as a
+       broadcast table keyed by cid: the codes⋈tables join is a
+       plain broadcast hash EQUI-join on cid that doubles as the
+       probe filter — unprobed cells have no table row.  Top-k plans
+       as TakeOrderedAndProject on (adc, id).
+
+    Scale shape: at deployment the code table is WRITTEN partitioned
+    by cid (the inverted lists), so the cid join prunes partitions
+    before any lookup; per-row work inside a probed cell is m
+    element_at's + an m-term sum over nprobe·m·ksub broadcast
+    doubles — no vector arithmetic touches the scan (codes are
+    m bytes vs dim·4: a 3 TB float corpus serves from 96 GB).
+    ``assign``/``method`` pick the literal vs broadcast-join variants
+    of the sub-operators (bit-identical contracts, same oracle).
+    """
+    dim = len(query_vec)
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if centroids is None:
+        centroids = kmeans_fit(
+            emb, k=n_centroids, n_iter=n_iter, vec_col=vec_col,
+            id_col=id_col, assign=assign,
+        )
+    spark = emb.sparkSession
+    assigned = _assign(emb, centroids, vec_col, id_col, assign)
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, c array<double>",
+    )
+    # residual table feeds the iterative pq_fit AND the encode —
+    # materialize once (localCheckpoint, not persist: blocks release
+    # with the result, no CacheManager residue)
+    resid = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("c"),
+                lambda x, y: x - y,
+            ).alias("resid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_fit(
+        resid, dim=dim, m=m, ksub=ksub, n_iter=n_iter,
+        vec_col="resid", id_col=id_col,
+    )
+    codes = pq_encode(
+        resid, books, vec_col="resid", id_col=id_col, method=method
+    ).join(resid.select(id_col, "cid"), id_col)
+
+    # driver-side probe + per-cell ADC tables (nprobe·m·ksub doubles)
+    cmap = dict(centroids)
+    qd = sorted(
+        (
+            sum((float(q) - c) * (float(q) - c) for q, c in zip(query_vec, vec)),
+            cid,
+        )
+        for cid, vec in centroids
+    )
+    probe = [cid for _, cid in qd[:nprobe]]
+    rows = []
+    for cid in probe:
+        qr = [float(q) - c for q, c in zip(query_vec, cmap[cid])]
+        tables = []
+        for j, book in enumerate(books):
+            qs = qr[j * dsub : (j + 1) * dsub]
+            dt = []
+            for _code, vec in book:
+                acc = 0.0
+                for a, b in zip(qs, vec):
+                    acc += (a - b) * (a - b)
+                dt.append(acc)
+            tables.append(dt)
+        rows.append((int(cid), tables))
+    dtdf = spark.createDataFrame(rows, "cid int, _dt array<array<double>>")
+    expr = None
+    for j in range(m):
+        lookup = F.element_at(
+            F.element_at(F.col("_dt"), j + 1), F.col(f"code_{j}") + 1
+        )
+        expr = lookup if expr is None else expr + lookup
+    return (
+        codes.join(F.broadcast(dtdf), "cid")
+        .select(F.col(id_col).alias("vec_id"), F.round(expr, 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def semdedup(
     emb: DataFrame,
     eps: float = 0.5,

@@ -1640,6 +1640,27 @@ def ann_pq_adc_join(spark, sf_dir):
     return pq_adc_topk(codes, q, books, k=10, method="join")
 
 
+@_q("ann_ivf_pq_top10", None)  # oracle attached in _finalize (composed)
+def ann_ivf_pq(spark, sf_dir):
+    """IVFADC — the composed IVF×PQ serving index (operators/
+    similarity.py ivf_pq_topk; Jégou et al. 2011 §IV): coarse k=8
+    Lloyd quantizer probes 2 cells, and ranking inside them is
+    asymmetric distance over m=4 × ksub=16 PQ codes of the RESIDUALS
+    (v − centroid), with one broadcast distance table per probed
+    cell.  The DuckDB twin replays the ENTIRE index build — coarse
+    fit, assign, residuals, all four residual sub-fits, encode,
+    probe, per-cell distance tables — so the hash match certifies
+    the composed pipeline, not the pieces."""
+    from spacetime_crawler4py_spark.operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_pq_topk(
+        e, q, k=10, n_centroids=8, nprobe=2, n_iter=2, m=4, ksub=16,
+        assign="literal", method="join",
+    )
+
+
 @_q("semdedup_kept", None)  # oracle attached in _finalize (unrolled Lloyd)
 def semdedup_kept(spark, sf_dir):
     """SemDedup (operators/similarity.py semdedup; Abbas et al.
@@ -2747,6 +2768,83 @@ def _finalize() -> None:
 
     ORACLES["ann_pq_adc_top10"] = _pq_oracle(m=4, ksub=16)
     ORACLES["ann_pq_adc_join_top10"] = _pq_oracle(m=8, ksub=32)
+
+    # ---- IVFADC (composed IVF×PQ, Jégou §IV): the coarse Lloyd fit
+    # and probe from _ivf_oracle, a residual table (v − centroid;
+    # exact double subtracts — the 6-dp centroid rounding is the
+    # contract that makes residuals engine-portable), the m residual
+    # sub-fits + encode from _pq_oracle, and per-PROBED-CELL distance
+    # tables over the query's per-cell residual.
+    def _ivfpq_oracle(k: int, nprobe: int, m: int, ksub: int) -> str:
+        dsub = _dim // m
+        res_list = "[" + ", ".join(
+            f"e.v[{i}]-c2.c[{i}]" for i in range(1, _dim + 1)
+        ) + "]"
+        qres_list = "[" + ", ".join(
+            f"qv.v[{i}]-c2.c[{i}]" for i in range(1, _dim + 1)
+        ) + "]"
+        parts = []
+        for _j in range(m):
+            lo, hi = _j * dsub + 1, (_j + 1) * dsub
+            parts.append(f"""s{_j} AS MATERIALIZED (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM r
+    ), c{_j}_0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM s{_j} ORDER BY vec_id LIMIT {ksub}
+    ), {_assign_cte(f"a{_j}_1", f"c{_j}_0", table=f"s{_j}", dim=dsub)},
+    {_recenter_cte(f"a{_j}_1", f"c{_j}_0", f"c{_j}_1", table=f"s{_j}", dim=dsub)},
+    {_assign_cte(f"a{_j}_2", f"c{_j}_1", table=f"s{_j}", dim=dsub)},
+    {_recenter_cte(f"a{_j}_2", f"c{_j}_1", f"c{_j}_2", table=f"s{_j}", dim=dsub)},
+    b{_j} AS MATERIALIZED (SELECT cid, c FROM c{_j}_2),
+    {_assign_cte(f"p{_j}", f"b{_j}", table=f"s{_j}", dim=dsub)},
+    qr{_j} AS (SELECT cid, list_slice(v, {lo}, {hi}) AS v FROM qr),
+    dt{_j} AS (
+      SELECT q.cid, c.cid AS code, {_l2("q.v", "c.c", dsub)} AS d
+      FROM b{_j} c, qr{_j} q
+    )""")
+        body = ",\n    ".join(parts)
+        joins = " ".join(
+            f"JOIN p{_j} USING (vec_id) "
+            f"JOIN dt{_j} ON dt{_j}.cid = r.cid AND dt{_j}.code = p{_j}.cid"
+            for _j in range(m)
+        )
+        adc_sum = " + ".join(f"dt{_j}.d" for _j in range(m))
+        return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {k}
+    ), {_assign_cte("a1", "c0")},
+    {_recenter_cte("a1", "c0", "c1")},
+    {_assign_cte("a2", "c1")},
+    {_recenter_cte("a2", "c1", "c2")},
+    {_assign_cte("a3", "c2")},
+    r AS MATERIALIZED (
+      SELECT e.vec_id, a3.cid, {res_list} AS v
+      FROM e JOIN a3 USING (vec_id) JOIN c2 USING (cid)
+    ),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY {_l2("qv.v", "c2.c")}, c2.cid) AS rn
+        FROM c2, qv)
+      WHERE rn <= {nprobe}
+    ),
+    qr AS MATERIALIZED (
+      SELECT c2.cid, {qres_list} AS v
+      FROM c2 JOIN probe USING (cid), qv
+    ),
+    {body}
+    SELECT r.vec_id, ROUND({adc_sum}, 6) AS adc
+    FROM r {joins}
+    ORDER BY adc, r.vec_id
+    LIMIT 10
+    """
+
+    ORACLES["ann_ivf_pq_top10"] = _ivfpq_oracle(k=8, nprobe=2, m=4, ksub=16)
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

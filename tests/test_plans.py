@@ -386,3 +386,32 @@ def test_pq_join_encode_and_adc_are_broadcast_not_literals(spark):
     l8 = len(_plan(pq_encode(emb, _books(8), method="literal")))
     l64 = len(_plan(pq_encode(emb, _books(64), method="literal")))
     assert l64 > l8 * 2, "sanity: literal plan grows with ksub"
+
+
+def test_ivf_pq_composed_plan_is_equi_joins_top_k(spark):
+    """IVFADC (ivf_pq_topk): the probed-cell filter IS the broadcast
+    equi-join of codes against the per-cell ADC tables on cid —
+    never a cartesian/nested-loop — and the whole query plans as a
+    TakeOrderedAndProject.  With the scale sub-paths selected
+    (assign='join', method='join') the plan stays O(1) in the index
+    size knobs: no literal codebooks or distance tables."""
+    from spacetime_crawler4py_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    out = ivf_pq_topk(
+        emb, q, k=10, n_centroids=8, nprobe=2, n_iter=1, m=4, ksub=16,
+        assign="join", method="join",
+    )
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the literal sub-paths produce the identical rows (one oracle
+    # gates both at the catalog level; pin the agreement here too)
+    lit = ivf_pq_topk(
+        emb, q, k=10, n_centroids=8, nprobe=2, n_iter=1, m=4, ksub=16,
+        assign="literal", method="literal",
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in lit.collect()]
