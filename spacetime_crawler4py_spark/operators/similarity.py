@@ -143,12 +143,15 @@ def kmeans_fit(
     id_col: str = "vec_id",
     round_decimals: int = 6,
     assign: str = "auto",
+    init_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd k-means coarse quantizer for IVF.
 
-    Init: the k lowest-id vectors (reproducible across engines; a
-    production fit would use k-means||, which changes only this
-    seeding step).  Each iteration:
+    Init: the k lowest-id vectors (reproducible across engines), or
+    ``init_centroids`` when given — pass ``kmeans_parallel_init``'s
+    output for the k-means|| seeding a production fit wants (lowest-id
+    init degrades IVF/SemDedup recall at real scale; the seeding step
+    is the ONLY thing that changes).  Each iteration:
 
     1. assign — distances to all k centroids, two bit-identical
        variants picked by ``assign``: 'literal' (centroids as
@@ -171,10 +174,13 @@ def kmeans_fit(
     Returns driver-side [(cid, centroid)] — k·dim floats, tiny.
     Empty clusters keep their previous centroid.
     """
-    init = emb.orderBy(id_col).limit(k).collect()
-    cents = [
-        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
-    ]
+    if init_centroids is not None:
+        cents = [(i, [float(x) for x in v]) for i, (_c, v) in enumerate(init_centroids)]
+    else:
+        init = emb.orderBy(id_col).limit(k).collect()
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
     for _ in range(n_iter):
         assigned = _assign(emb, cents, vec_col, id_col, assign)
         pe = emb.join(assigned, id_col).select(
@@ -193,6 +199,133 @@ def kmeans_fit(
         new = {r["cid"]: [float(x["v"]) for x in r["a"]] for r in rows}
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
     return cents
+
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int = 8,
+    l: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "kpp",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means|| seeding (Bahmani et al. 2012,
+    arXiv:1203.6402) — the oversample-then-weighted-reduce init a
+    production IVF/SemDedup fit wants (lowest-id init degrades recall
+    at real scale), made bit-reproducible across engines:
+
+    1. C ← the lowest-id vector.
+    2. ``rounds`` oversampling passes: each point is drawn iff
+       u(id) < l·d²(x,C)/φ — TRUE probability-proportional k-means||
+       sampling, with every term exact: d² is min-over-C of the
+       rounded INTEGER micro-distance CAST(ROUND(l2·10⁶) AS LONG)
+       (the same left-to-right double fold as every IVF operator),
+       φ = Σ d² is an integer sum (associative — order-independent,
+       unlike a float φ, which no two engines sum identically), and
+       u(id) is the md5 hash-unit draw the sampling operators already
+       replay in SQL.  The draw is a pure Column predicate: no RNG
+       state, stable under repartitioning/retry, one broadcast-join
+       scan per round (candidates ride a broadcast table, plan O(1)
+       in |C| — the ivf_assign_join shape).
+    3. weights: one assign pass counts the points nearest each
+       candidate (exact longs).
+    4. reduce to k on the driver (|C| ≈ 1 + l·rounds, tiny): greedy
+       weighted farthest-point — start at the max-weight candidate,
+       then repeatedly take argmax of w(c)·min_{chosen}round(l2,6)
+       with lower-id tie-breaks.  Deterministic, and small enough to
+       replay as k unrolled SQL CTEs (the k-means++ analog of the
+       paper's 'recluster the weighted candidates').
+
+    Returns [(cid 0..k-1, centroid)] in selection order — feed to
+    ``kmeans_fit(init_centroids=...)``.  Raises if fewer than k
+    candidates were drawn (raise ``l``/``rounds``).
+    """
+    from spacetime_crawler4py_spark.operators.sampling import hash_unit
+
+    spark = emb.sparkSession
+    first = emb.orderBy(id_col).limit(1).collect()[0]
+    cand: list[tuple[int, list[float]]] = [
+        (int(first[id_col]), [float(x) for x in first[vec_col]])
+    ]
+    for r in range(1, rounds + 1):
+        cdf = spark.createDataFrame(
+            [(int(i), v) for i, v in cand], "cand_id long, c array<double>"
+        )
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("c"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d2 = (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_one", F.pmod(F.col(id_col).cast("long"), F.lit(1)))
+            .join(
+                F.broadcast(
+                    cdf.withColumn(
+                        "_one", F.pmod(F.col("cand_id"), F.lit(1))
+                    )
+                ),
+                "_one",
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min(F.round(d * 1e6, 0).cast("long")).alias("d2i")
+            )
+        )
+        phi = d2.agg(F.sum("d2i")).collect()[0][0]
+        if not phi:  # all points coincide with a candidate
+            break
+        u = hash_unit(F.col(id_col), salt=f"{salt}:r{r}")
+        drawn = (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .join(d2, id_col)
+            .where(u < F.lit(float(l)) * F.col("d2i") / F.lit(float(phi)))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        have = {i for i, _v in cand}
+        for row in drawn:
+            if int(row[id_col]) not in have:
+                cand.append(
+                    (int(row[id_col]), [float(x) for x in row[vec_col]])
+                )
+    if len(cand) < k:
+        raise ValueError(
+            f"k-means|| drew {len(cand)} candidates < k={k}; raise l/rounds"
+        )
+    # weights: points nearest each candidate (assign = broadcast-join
+    # argmin, tie to lower cand_id — the ivf_assign_join contract)
+    assigned = ivf_assign_join(emb, cand, vec_col, id_col)
+    w = {int(i): 0 for i, _v in cand}
+    for row in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect():
+        w[int(row["cid"])] = int(row["n"])
+    by_id = dict(cand)
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ids = sorted(by_id)
+    chosen = [min(ids, key=lambda i: (-w[i], i))]
+    while len(chosen) < k:
+        best = None
+        best_key = None
+        for i in ids:
+            if i in chosen:
+                continue
+            m = min(round(_l2(by_id[i], by_id[c]), 6) for c in chosen)
+            key = (-(w[i] * m), i)
+            if best is None or key < best_key:
+                best, best_key = i, key
+        chosen.append(best)
+    return [(rank, by_id[i]) for rank, i in enumerate(chosen)]
 
 
 def _sq_dist(vec_col, centroid: list[float]):

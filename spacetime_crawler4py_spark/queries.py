@@ -1661,6 +1661,33 @@ def ann_ivf_pq(spark, sf_dir):
     )
 
 
+@_q("ann_ivf_kpp_top10", None)  # oracle attached in _finalize (k-means||)
+def ann_ivf_kpp(spark, sf_dir):
+    """IVF over a k-means||-seeded quantizer (operators/similarity.py
+    kmeans_parallel_init; Bahmani et al. 2012): probability-
+    proportional oversampling made bit-reproducible (md5 hash-unit
+    draws against an exact INTEGER potential φ), weights from one
+    assign pass, greedy weighted farthest-point reduction to k, then
+    the standard rounded Lloyd refinement and probe.  The DuckDB twin
+    replays the ENTIRE seeding — both sampling rounds, the integer φ,
+    the weight counts, all k greedy selections — plus the Lloyd fit
+    and probe, so the hash match certifies the seeding math itself."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    seeds = kmeans_parallel_init(e, k=8, l=8, rounds=2)
+    cents = kmeans_fit(
+        e, k=8, n_iter=2, init_centroids=seeds, assign="literal"
+    )
+    out = ivf_topk(e, q, k=10, centroids=cents, nprobe=2, assign="literal")
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @_q("semdedup_kept", None)  # oracle attached in _finalize (unrolled Lloyd)
 def semdedup_kept(spark, sf_dir):
     """SemDedup (operators/similarity.py semdedup; Abbas et al.
@@ -2845,6 +2872,100 @@ def _finalize() -> None:
     """
 
     ORACLES["ann_ivf_pq_top10"] = _ivfpq_oracle(k=8, nprobe=2, m=4, ksub=16)
+
+    # ---- k-means||-seeded IVF: the seeding replayed end-to-end —
+    # hash-unit draws vs an exact integer potential (Σ of rounded
+    # micro-distances: BIGINT, order-independent where a float φ is
+    # not), weight counts, and the greedy weighted farthest-point
+    # reduction as k unrolled single-row CTEs — then the standard
+    # Lloyd + probe tail.
+    def _kpp_oracle(k: int, l: int, rounds: int, nprobe: int) -> str:
+        d2i = (
+            f"CAST(ROUND({_l2('e.v', 'c.c')} * 1000000.0, 0) AS BIGINT)"
+        )
+        parts = []
+        prev = "k0"
+        for r in range(1, rounds + 1):
+            parts.append(f"""d_{r} AS MATERIALIZED (
+      SELECT e.vec_id, MIN({d2i}) AS d2
+      FROM e, {prev} c GROUP BY e.vec_id
+    ), p_{r} AS (SELECT SUM(d2) AS phi FROM d_{r}),
+    k{r} AS MATERIALIZED (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT e.vec_id AS cand_id, e.v AS c
+      FROM e JOIN d_{r} USING (vec_id), p_{r}
+      WHERE ('0x' || substr(md5('kpp:r{r}:' || e.vec_id), 1, 15))::BIGINT
+              / {_U60}
+            < {l} * d_{r}.d2 / p_{r}.phi
+    )""")
+            prev = f"k{r}"
+        sampling = ",\n    ".join(parts)
+        greedy = []
+        for i in range(1, k):
+            chosen = ", ".join(f"g{j}" for j in range(i))
+            not_in = ", ".join(f"g{j}.cand_id" for j in range(i))
+            dists = ", ".join(
+                f"ROUND({_l2('t.c', f'g{j}.c')}, 6)" for j in range(i)
+            )
+            score = f"LEAST({dists})" if i > 1 else dists
+            greedy.append(f"""g{i} AS MATERIALIZED (
+      SELECT t.cand_id, t.c FROM wt t, {chosen}
+      WHERE t.cand_id NOT IN ({not_in})
+      ORDER BY t.w * {score} DESC, t.cand_id LIMIT 1
+    )""")
+        greedy_sql = ",\n    ".join(greedy)
+        c_init = " UNION ALL ".join(
+            f"SELECT {j} AS cid, c FROM g{j}" for j in range(k)
+        )
+        return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), k0 AS MATERIALIZED (
+      SELECT vec_id AS cand_id, v AS c FROM e ORDER BY vec_id LIMIT 1
+    ), {sampling},
+    asn AS (
+      SELECT vec_id, cand_id FROM (
+        SELECT e.vec_id, c.cand_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2("e.v", "c.c")}, c.cand_id
+               ) AS rn
+        FROM e, {prev} c)
+      WHERE rn = 1
+    ), wt AS MATERIALIZED (
+      SELECT {prev}.cand_id, {prev}.c, COALESCE(g.n, 0) AS w
+      FROM {prev} LEFT JOIN (
+        SELECT cand_id, COUNT(*) AS n FROM asn GROUP BY cand_id
+      ) g USING (cand_id)
+    ), g0 AS MATERIALIZED (
+      SELECT cand_id, c FROM wt ORDER BY w DESC, cand_id LIMIT 1
+    ), {greedy_sql},
+    c0 AS MATERIALIZED ({c_init}),
+    {_assign_cte("a1", "c0")},
+    {_recenter_cte("a1", "c0", "c1")},
+    {_assign_cte("a2", "c1")},
+    {_recenter_cte("a2", "c1", "c2")},
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY {_l2("qv.v", "c2.c")}, c2.cid) AS rn
+        FROM c2, qv)
+      WHERE rn <= {nprobe}
+    ), {_assign_cte("a3", "c2")}
+    SELECT e.vec_id,
+           ROUND({_dot("e.v", "qv.v")}
+                 / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("qv.v", "qv.v")})),
+                 4) AS score
+    FROM e JOIN a3 USING (vec_id), qv
+    WHERE a3.cid IN (SELECT cid FROM probe)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """
+
+    ORACLES["ann_ivf_kpp_top10"] = _kpp_oracle(k=8, l=8, rounds=2, nprobe=2)
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

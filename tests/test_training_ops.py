@@ -341,6 +341,40 @@ def test_ivf_ann(spark):
     assert len(got & want) >= 7, (got, want)
 
 
+def test_kmeans_parallel_seeding(spark):
+    """k-means|| init (Bahmani et al. 2012, deterministic variant):
+    seeds are reproducible run-to-run, spread across the data (not
+    the k lowest-id rows), and an IVF fit from them reaches useful
+    recall vs brute force at fixture scale."""
+    from spacetime_crawler4py_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = S.kmeans_parallel_init(emb, k=8, l=8, rounds=2)
+    assert len(seeds) == 8 and [c for c, _v in seeds] == list(range(8))
+    # deterministic: hash draws + integer potential, no RNG state
+    assert seeds == S.kmeans_parallel_init(emb, k=8, l=8, rounds=2)
+    # oversampling actually sampled beyond the lowest-id prefix
+    lowest = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    assert [v for _c, v in seeds] != lowest
+
+    cents = S.kmeans_fit(emb, k=8, n_iter=2, init_centroids=seeds)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = {
+        r["vec_id"]
+        for r in S.ivf_topk(emb, q, k=10, nprobe=2, centroids=cents).collect()
+    }
+    want = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    assert len(got & want) >= 5, (got, want)
+    # under-provisioned seeding raises instead of silently degrading
+    import pytest
+
+    with pytest.raises(ValueError, match="candidates"):
+        S.kmeans_parallel_init(emb, k=64, l=2, rounds=1)
+
+
 def test_sketches(spark):
     """CMS: est >= true always, est == true for heavy hitters at
     this width; HLL: estimate within the standard error band."""
