@@ -1199,6 +1199,43 @@ def corpus_build_counts(spark, sf_dir):
     )
 
 
+@_q("corpus_build_domain_counts", None)  # oracle attached in _finalize
+def corpus_build_domain_counts(spark, sf_dir):
+    """Flagship corpus assembly with the FULL RefinedWeb gate order —
+    URL/domain first, then document quality, then dedup, then split:
+    domain rollup blocks bad origins (one small-agg broadcast
+    left_anti; the corpus never shuffles for it) → C4/Gopher quality
+    gate → exact dedup among survivors → benchmark decontamination →
+    deterministic 80/10/10 split → per-(split, lang) counts.  One
+    declarative plan; every stage is an already-oracle-gated
+    operator, and the DuckDB twin replays the whole chain."""
+    from spacetime_crawler4py_spark.operators.dedup import exact_dedup
+    from spacetime_crawler4py_spark.operators.quality import (
+        blocklist_filter,
+        c4_gopher_flags,
+        decontaminate,
+        domain_rollup,
+    )
+    from spacetime_crawler4py_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    d0 = blocklist_filter(d, domain_rollup(d))
+    keep_ids = (
+        c4_gopher_flags(d0, stopword_list=["the", "a"])
+        .where("keep")
+        .select("doc_id")
+    )
+    d1 = d0.join(keep_ids, "doc_id", "left_semi")
+    d2 = exact_dedup(d1)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    d3 = decontaminate(d2, bench, n=8)
+    return (
+        hash_split(d3, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @_q(
     "decon_flagged",
     r"""
@@ -2498,6 +2535,73 @@ def _finalize() -> None:
       WHERE r.source = d.source AND r.sum_q4 < 6800 * r.n_docs
     )
     ORDER BY d.doc_id
+    """
+
+    # ---- domain-gated corpus flagship: the dq rollup CTEs prepended
+    # to the corpus-assembly chain in RefinedWeb order (domain →
+    # quality → dedup → decontaminate → split).  Dedup groups over the
+    # POST-GATE survivors: identical texts carry identical quality
+    # verdicts, but not identical sources, so the representative is
+    # the lowest id among the non-blocked copies.
+    ORACLES["corpus_build_domain_counts"] = _dq_roll + f"""
+    , d0 AS MATERIALIZED (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM roll r
+        WHERE r.source = d.source AND r.sum_q4 < 6800 * r.n_docs
+      )
+    ), feat AS (
+      SELECT doc_id, lang, coalesce(text, '') AS text,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM d0
+    ), kept AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, len(ws) AS nw,
+               list_sum(list_transform(ws, w -> length(w)))
+                 / greatest(len(ws), 1) AS mwl,
+               length(regexp_replace(text, '[^{{}}#<>\\[\\]\\\\|]', '', 'g'))
+                 / greatest(length(text), 1) AS sym,
+               len(list_intersect(list_distinct(ws), ['the','a'])) AS nstop,
+               CASE WHEN len(ws) > 0
+                    THEN 1.0 - len(list_distinct(ws)) / len(ws)
+                    ELSE 0.0 END AS dupf
+        FROM feat)
+      WHERE nw BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND nstop >= 2 AND dupf <= 0.9
+    ), reps AS (
+      SELECT MIN(k.doc_id) AS doc_id
+      FROM kept k JOIN documents d USING (doc_id)
+      GROUP BY md5(d.text)
+    ), d2 AS (
+      SELECT k.doc_id, k.lang FROM kept k JOIN reps USING (doc_id)
+    ), g_all AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 7, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents)
+    ), h_all AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g_all
+    ), contaminated AS (
+      SELECT DISTINCT h_all.doc_id FROM h_all
+      JOIN (SELECT DISTINCT h FROM h_all WHERE doc_id % 50 = 0) b USING (h)
+    ), d3 AS (
+      SELECT d2.doc_id, d2.lang FROM d2
+      LEFT JOIN contaminated c ON c.doc_id = d2.doc_id
+      WHERE c.doc_id IS NULL
+    )
+    SELECT CASE WHEN u < {_SPLIT_B1!r} THEN 'train'
+                WHEN u < {_SPLIT_B2!r} THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n
+    FROM (SELECT lang,
+                 ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+                   / {_U60} AS u
+          FROM d3)
+    GROUP BY 1, 2
     """
 
     # n-gram jaccard pairs: shingle generation via list comprehension
