@@ -40,6 +40,8 @@ HEADLINE = [
     "sk_cms_word_counts",
     "semdedup_kept",
     "ann_pq_adc_top10",
+    "ann_ivf_pq_top10",
+    "corpus_build_domain_counts",
 ]
 
 BENCH_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))

@@ -5,19 +5,23 @@ The Spark-side architecture here is real and tested — schemas,
 partition-preserving batch flow, UDF signatures, batch shapes.
 
 Codecs: the container has no image/audio libraries, so the REAL
-path is pure-stdlib parsers for the two uncompressed container
-formats stdlib can express:
+path is pure stdlib+numpy parsers for the formats that dominate a
+web corpus:
 
 - image: BMP (BITMAPINFOHEADER, 24-bpp, BI_RGB) — header offsets
   per the public Windows BMP layout; bottom-up rows, 4-byte row
-  padding, BGR byte order.
+  padding, BGR byte order; PNG (8-bit non-interlaced RGB/RGBA,
+  zlib inflate + all 5 filters); baseline sequential JPEG
+  (ITU-T T.81 — huffman decode, dequant, IDCT, chroma upsample,
+  YCbCr→RGB; DRI/RSTn restarts).
 - audio: RIFF/WAVE PCM via the stdlib ``wave`` module (8/16-bit).
 
-``encode_bmp``/``encode_wav`` produce those formats so fixtures
-and the synthetic media generator exercise the real decode path
-end-to-end.  Compressed formats (JPEG/PNG/MP3/MP4) still raise
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic content-hash-derived stand-in.
+``encode_bmp``/``encode_png``/``encode_jpeg``/``encode_wav``
+produce those formats so fixtures and the synthetic media
+generator exercise the real decode path end-to-end.  The remaining
+exotic variants (progressive JPEG, interlaced PNG, MP3/MP4) still
+raise NotImplementedError unless ``fake=True``, which substitutes
+a deterministic content-hash-derived stand-in.
 
 Design for 100 TB of media:
 - media rows are (id, kind, media binary, meta struct) — the binary
@@ -82,17 +86,25 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image to HxWx3 uint8 (RGB).
 
-    REAL paths: uncompressed 24-bpp BI_RGB BMP (struct parse) and
+    REAL paths: uncompressed 24-bpp BI_RGB BMP (struct parse),
     8-bit non-interlaced RGB/RGBA PNG (decode_png — zlib inflate +
-    filter reconstruction, all stdlib).  JPEG and friends need
-    codecs absent from this container → NotImplementedError, or the
-    deterministic stand-in when ``fake=True``.
+    filter reconstruction, all stdlib) and baseline sequential JPEG
+    (decode_jpeg — huffman + dequant + IDCT, stdlib+numpy).  The
+    remaining exotic variants (progressive JPEG, interlaced PNG,
+    paletted BMP) → NotImplementedError, or the deterministic
+    stand-in when ``fake=True``.
     """
     import struct
 
     if raw[:8] == _PNG_SIG:
         try:
             return decode_png(raw)
+        except NotImplementedError:
+            if not fake:
+                raise
+    if raw[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(raw)
         except NotImplementedError:
             if not fake:
                 raise
@@ -114,7 +126,7 @@ def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
                 return rows[:, :, ::-1].copy()  # BGR → RGB
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bpp BMP decodes without codec "
+            "only BMP/PNG/baseline-JPEG decode without codec "
             "libraries; pass fake=True for the deterministic stand-in"
         )
     h = hashlib.sha256(raw).digest()
@@ -250,6 +262,604 @@ def decode_png(raw: bytes) -> np.ndarray:
         out[y] = rec.astype(np.uint8)
         prior = rec
     return out.reshape(h, w, c)[:, :, :3].copy()
+
+
+# --------------------------------------------------------------- JPEG
+#
+# Baseline sequential JPEG (ITU-T T.81), pure stdlib+numpy — the
+# dominant web image format, closed the same way PNG was: a real
+# parser/transform chain, no codec library.  encode_jpeg exists to
+# make self-contained fixtures (and exercises 4:4:4 and 4:2:0);
+# decode_jpeg handles what a baseline web JPEG actually is: SOF0/SOF1,
+# 8-bit, huffman, 1- or 3-component, arbitrary h/v sampling factors
+# ≤ 2, restart intervals.  Progressive (SOF2) / arithmetic / 12-bit
+# raise NotImplementedError.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+
+_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.float64,
+)
+
+# standard huffman tables (T.81 Annex K): (BITS[1..16], HUFFVAL).
+# Only the ENCODER depends on their content — the decoder always
+# rebuilds its tables from the file's own DHT segments.
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8×8 DCT-II basis M with F = M·f·Mᵀ (T.81 A.3.3 scaling)."""
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (T.81 C.2): symbol → (length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-style quality scaling of the Annex K base tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, length: int) -> None:
+        self.acc = (self.acc << length) | (bits & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DC/AC magnitude category + appended bits (T.81 F.1.2.1)."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 (RGB) or HxW uint8 (grayscale) → baseline
+    sequential JFIF bytes, stdlib+numpy only.  ``subsample`` is '444'
+    (no chroma subsampling) or '420' (2×2 box-mean chroma);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs — together the fixtures exercise every decoder geometry
+    (both MCU shapes, 1- and 3-component scans, restart resync)."""
+    import struct
+
+    if img.ndim == 2:
+        return _encode_jpeg_gray(img, quality, restart_interval)
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    assert subsample in ("444", "420")
+    qy, qc = _quality_tables(quality)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    if subsample == "420":
+        hy, vy = 2, 2
+        pad_h, pad_w = (-h) % 16, (-w) % 16
+    else:
+        hy, vy = 1, 1
+        pad_h, pad_w = (-h) % 8, (-w) % 8
+
+    def _pad(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge")
+
+    y, cb, cr = _pad(y), _pad(cb), _pad(cr)
+    if subsample == "420":
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+
+    dc_y, ac_y = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(plane: np.ndarray, by: int, bx: int, qt: np.ndarray,
+                  dc: dict, ac: dict, ci: int) -> None:
+        blk = plane[by : by + 8, bx : bx + 8] - 128.0
+        coef = _DCT_M @ blk @ _DCT_M.T
+        qz = np.round(coef.ravel() / qt).astype(np.int64)[_ZIGZAG]
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        s, bits = _magnitude(diff)
+        ln, code = dc[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            ln, code = ac[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits, s)
+            run = 0
+        if run:
+            ln, code = ac[0x00]  # EOB
+            bw.put(code, ln)
+
+    mcuy, mcux = y.shape[0] // (8 * vy), y.shape[1] // (8 * hy)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                rst = 0xD0 + ((n_mcu // restart_interval - 1) % 8)
+                bw.buf += bytes([0xFF, rst])
+                pred[:] = [0, 0, 0]
+            for byy in range(vy):
+                for bxx in range(hy):
+                    put_block(y, (my * vy + byy) * 8, (mx * hy + bxx) * 8,
+                              qy, dc_y, ac_y, 0)
+            put_block(cb, my * 8, mx * 8, qc, dc_c, ac_c, 1)
+            put_block(cr, my * 8, mx * 8, qc, dc_c, ac_c, 2)
+            n_mcu += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(
+            int(qt[i]) for i in _ZIGZAG
+        ))
+
+    def dht(cls: int, tid: int, table: tuple) -> bytes:
+        bits, vals = table
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+        + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        + dri + sof + sos + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+def _encode_jpeg_gray(
+    img: np.ndarray, quality: int, restart_interval: int = 0
+) -> bytes:
+    """HxW uint8 → single-component baseline JFIF (decoder's
+    1-component path returns it stacked to HxWx3)."""
+    import struct
+
+    h, w = img.shape
+    assert img.dtype == np.uint8
+    qy, _ = _quality_tables(quality)
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    y = np.pad(img.astype(np.float64), ((0, pad_h), (0, pad_w)), mode="edge")
+    dc_y, ac_y = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    bw = _BitWriter()
+    pred = 0
+    n_mcu = 0
+    for by in range(0, y.shape[0], 8):
+        for bx in range(0, y.shape[1], 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                rst = 0xD0 + ((n_mcu // restart_interval - 1) % 8)
+                bw.buf += bytes([0xFF, rst])
+                pred = 0
+            blk = y[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT_M @ blk @ _DCT_M.T
+            qz = np.round(coef.ravel() / qy).astype(np.int64)[_ZIGZAG]
+            diff = int(qz[0]) - pred
+            pred = int(qz[0])
+            s, bits = _magnitude(diff)
+            ln, code = dc_y[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(bits, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_y[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                ln, code = ac_y[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(bits, s)
+                run = 0
+            if run:
+                ln, code = ac_y[0x00]
+                bw.put(code, ln)
+            n_mcu += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(qy.ravel()[i]) for i in _ZIGZAG))
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + app0 + dqt + dht + dri + sof + sos + bytes(bw.buf) + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, stops at any
+    real marker (T.81 F.2.2.5); restart markers consumed explicitly."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOF
+                self.n += 8
+                continue
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: consumed by restart()
+                else:
+                    break  # real marker: end of scan
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        if self.n < k:
+            raise NotImplementedError("truncated JPEG entropy data")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc, self.n = 0, 0
+        if (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise NotImplementedError("missing JPEG restart marker")
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(length, code) → symbol lookup for canonical DHT tables."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → HxWx3 uint8 (RGB), stdlib+numpy.
+
+    Supports SOF0/SOF1 (8-bit huffman), 1 or 3 components, sampling
+    factors ≤ 4, interleaved single-scan data, DRI/RSTn restarts.
+    Progressive (SOF2), arithmetic coding, 12-bit precision and
+    multi-scan files raise NotImplementedError — the fake=True
+    stand-in path remains for those."""
+    import struct
+
+    if raw[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dcs: dict[int, dict] = {}
+    acs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    h = w = None
+    dri = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, td, ta)
+    data_pos = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise NotImplementedError("corrupt JPEG marker stream")
+        marker = raw[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", raw, pos + 2)[0]
+        body = raw[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                t = np.zeros(64)
+                t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, p + 1)
+                qts[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                (acs if cls else dcs)[tid] = _huff_decoder(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/ext sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported JPEG SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(
+                    j for j, (cid, *_r) in enumerate(comps) if cid == cs
+                )
+                scan.append((idx, tt >> 4, tt & 0xF))
+            data_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if h is None or data_pos is None or not scan:
+        raise NotImplementedError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * v, mcux * 8 * hh)) for _cid, hh, v, _tq in comps
+    ]
+    br = _BitReader(raw, data_pos)
+    pred = [0] * len(comps)
+    mt = _DCT_M.T
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            for ci, td, ta in scan:
+                _cid, hh, v, tq = comps[ci]
+                for by in range(v):
+                    for bx in range(hh):
+                        coef = np.zeros(64)
+                        s = _read_symbol(br, dcs[td])
+                        diff = _extend(br.bits(s), s)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, acs[ta])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC coefficient overflow"
+                                )
+                            coef[_ZIGZAG[k]] = _extend(br.bits(s), s)
+                            k += 1
+                        blk = coef.reshape(8, 8) * qts[tq]
+                        px = mt @ blk @ _DCT_M + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * hh + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            n_mcu += 1
+    up = []
+    for ci, (_cid, hh, v, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hh < hmax:
+            p = np.repeat(p, hmax // hh, axis=1)
+        if v < vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        up.append(p[:h, :w])
+    if len(up) == 1:
+        g = np.clip(up[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -427,10 +1037,10 @@ def synth_media(
 ) -> DataFrame:
     """Deterministic synthetic media table for tests/bench.
 
-    ``real=True`` emits genuinely decodable payloads (24-bpp BMP
-    images, PCM WAV audio, BMP frame dumps for video) so the
-    non-fake featurize path runs end-to-end; default is opaque
-    random bytes for plumbing-only tests.
+    ``real=True`` emits genuinely decodable payloads (24-bpp BMP /
+    PNG / baseline-JPEG images, PCM WAV audio, BMP frame dumps for
+    video) so the non-fake featurize path runs end-to-end; default
+    is opaque random bytes for plumbing-only tests.
     """
     import random
 
@@ -454,15 +1064,26 @@ def synth_media(
             else:
                 w, h = rng.randint(4, 24), rng.randint(4, 24)
                 img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                # alternate container + filter so the corpus
-                # exercises both real image codecs and every PNG
-                # reconstruction branch
-                if (i // 3) % 2 == 0:
+                # rotate containers so the corpus exercises all three
+                # real image codecs, every PNG reconstruction branch,
+                # and both JPEG MCU geometries
+                which = (i // 3) % 3
+                if which == 0:
                     raw = encode_bmp(img)
+                elif which == 1:
+                    raw = encode_png(img, filter_type=(i // 9) % 5)
                 else:
-                    raw = encode_png(img, filter_type=(i // 6) % 5)
+                    raw = encode_jpeg(
+                        img, subsample="420" if (i // 9) % 2 else "444"
+                    )
             mime = {
-                "image": "image/png" if raw[:8] == _PNG_SIG else "image/bmp",
+                "image": (
+                    "image/png"
+                    if raw[:8] == _PNG_SIG
+                    else "image/jpeg"
+                    if raw[:2] == b"\xff\xd8"
+                    else "image/bmp"
+                ),
                 "audio": "audio/wav",
                 "video": "video/x-raw-frame",
             }[kind]

@@ -543,6 +543,73 @@ def test_featurize_real_includes_png(spark):
     assert np.allclose(row["features"], exp, atol=1e-5)
 
 
+def test_jpeg_roundtrip_all_geometries():
+    """encode_jpeg → decode_image across every decoder geometry:
+    4:4:4 and 4:2:0 MCUs, non-multiple-of-MCU dimensions, grayscale
+    single-component scans, and DRI/RSTn restart intervals.  JPEG is
+    lossy, so the contract is bounded reconstruction error on smooth
+    content plus exactness invariants (shape, determinism, restart
+    transparency), not bit identity."""
+    rng = np.random.default_rng(7)
+    xx, yy = np.meshgrid(np.arange(40), np.arange(33))
+    smooth = np.clip(
+        np.stack([xx * 4, yy * 5, xx * 2 + yy * 2], axis=-1), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = M.decode_image(M.encode_jpeg(smooth, quality=95, subsample=sub))
+        assert out.shape == smooth.shape
+        err = np.abs(out.astype(int) - smooth.astype(int)).mean()
+        assert err < 3.0, (sub, err)
+    # odd sizes exercise MCU edge padding/cropping
+    for (h, w, sub) in [(17, 23, "420"), (9, 8, "444"), (33, 14, "420")]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert M.decode_image(M.encode_jpeg(img, subsample=sub)).shape == img.shape
+    # restart markers must not change the reconstruction
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        a = M.decode_jpeg(M.encode_jpeg(img, quality=80, subsample=sub))
+        b = M.decode_jpeg(
+            M.encode_jpeg(img, quality=80, subsample=sub, restart_interval=4)
+        )
+        assert np.array_equal(a, b), sub
+    # grayscale single-component scan → stacked to HxWx3
+    g = (np.outer(np.arange(20), np.ones(27)) * 9 % 256).astype(np.uint8)
+    for dri in (0, 2):
+        out = M.decode_image(M.encode_jpeg(g, quality=95, restart_interval=dri))
+        assert out.shape == (20, 27, 3)
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+    # decode is deterministic (featurize parity depends on this)
+    raw = M.encode_jpeg(img, quality=85, subsample="420")
+    assert np.array_equal(M.decode_jpeg(raw), M.decode_jpeg(raw))
+    # progressive (SOF2) raises; fake=True stands in
+    prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(prog)
+    assert M.decode_image(prog, fake=True).shape == (8, 8, 3)
+    # truncated entropy data raises cleanly
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg(raw[: len(raw) // 2])
+
+
+def test_featurize_real_includes_jpeg(spark):
+    """synth_media(real=True) rotates BMP/PNG/JPEG containers;
+    featurize(fake=False) must decode all three and match the local
+    decode of the same bytes."""
+    media = M.synth_media(spark, n=54, seed=3, real=True)
+    local = {r["media_id"]: (bytes(r["media"]), r["meta"]["mime"])
+             for r in media.collect()}
+    mimes = {m for _, m in local.values()}
+    assert {"image/jpeg", "image/png", "image/bmp"} <= mimes
+    rows = M.featurize(media, dim=16, fake=False).collect()
+    assert len(rows) == 54
+    jpg_ids = [i for i, (_, m) in local.items() if m == "image/jpeg"]
+    row = next(r for r in rows if r["media_id"] == jpg_ids[0])
+    exp = M.image_features(M.decode_image(local[jpg_ids[0]][0]), 16)
+    # features cross Arrow as float32 — compare at float32 precision
+    assert np.allclose(row["features"], exp, atol=1e-5)
+
+
 def test_repetition_metrics(spark):
     """Gopher repetition signals on handcrafted docs: the repeated
     phrase dominates top_ngram_char_frac; an all-unique doc scores

@@ -104,6 +104,46 @@ def main() -> None:
         "scan, no global sort.",
         pq_adc_topk(pq_encode(emb, books), [0.05] * 64, books, k=10),
     )
+    from spacetime_crawler4py_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode_join,
+    )
+
+    big_books = [
+        [(c, [0.01 * c + j] * 8) for c in range(64)] for j in range(8)
+    ]
+    audit(
+        "PQ join-encode + broadcast ADC (large m·ksub)",
+        "Wants: NO ksub·dim literal arrays in any Project — the "
+        "codebook is a broadcast TABLE (BroadcastHashJoin on j), "
+        "argmin a map-side-combinable min(struct), codes pivot back "
+        "with one (id) combine; ADC distance table a one-row "
+        "broadcast, top-k TakeOrderedAndProject.",
+        pq_adc_topk(
+            pq_encode_join(emb, big_books),
+            [0.05] * 64,
+            big_books,
+            k=10,
+            method="join",
+        ),
+    )
+    audit(
+        "IVFADC composed (coarse probe → residual ADC)",
+        "Wants: assign/encode all broadcast equi-joins; the probe "
+        "filter IS the per-cell distance-table join on cid (unprobed "
+        "cells have no table row — partition pruning at deployment); "
+        "no vector math in the scan, top-k TakeOrderedAndProject.",
+        ivf_pq_topk(emb, [0.05] * 64, k=10, n_centroids=4, nprobe=2,
+                    m=4, ksub=8),
+    )
+    audit(
+        "corpus flagship (domain gate → quality → dedup → split)",
+        "Wants: the RefinedWeb gate order as ONE plan — broadcast "
+        "left_anti domain gate before anything shuffles the corpus, "
+        "JVM quality gates below the parse boundary, dedup the only "
+        "wide exchange, split a hash projection (no extra shuffle).",
+        QUERIES["corpus_build_domain_counts"](spark, sf_dir),
+    )
     audit(
         "SemDedup (cluster-bounded semantic dedup)",
         "Wants: one hashpartitioning(cid) exchange for the rank "
