@@ -359,3 +359,97 @@ def dup_span_coverage(
             .alias("dup_span_frac"),
         )
     )
+
+
+def dup_span_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 §4:
+    'deduplicate by removing the duplicated substring, keeping one
+    copy') — the transformation twin of ``dup_span_coverage``'s
+    signal, at word-n-gram granularity.
+
+    Semantics (deterministic, SQL-replayable): a word n-gram that
+    occurs in ≥2 distinct documents is a duplicate; every occurrence
+    EXCEPT its single global first — min (doc, pos) order, the same
+    keep-first contract as ``line_dedup`` — has its n token offsets
+    removed.  Each document is reassembled from its surviving tokens
+    (single-space joined, tokens already lowercased by the
+    whitespace tokenizer).  Overlapping removed spans merge naturally
+    (offsets are a set).
+
+    Returns (id, n_tokens, n_removed_tokens, text) with ``text`` the
+    deduplicated reassembly.
+
+    Plan shape: one posexplode → one partial-agg groupBy(gram_key)
+    carrying (min_id, max_id, min(struct(id,pos))) — all map-side
+    combinable, safe on boilerplate hot grams — → equi-join back on
+    the 8-byte key → per-doc collect_set of removed offsets (bounded
+    by doc length) → one join to the base and a JVM ``filter`` with
+    the positional lambda; the reassembly never shuffles token rows.
+    The per-token ``array_contains`` probe is O(|removed|); documents
+    are bounded (gate F7 upstream), so the quadratic corner is
+    doc-local, never cross-doc.
+    """
+    from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_ws(txt).alias("_ws"),
+        _word_ngrams_pos(txt, n).alias("_grams"),
+    )
+    occ = base.select(
+        "_id", F.explode("_grams").alias("_g")
+    ).select(
+        "_id",
+        F.col("_g.pos").alias("_pos"),
+        shingle_key60(F.col("_g.gram")).alias("_key"),
+    )
+    dup = (
+        occ.groupBy("_key")
+        .agg(
+            F.min("_id").alias("_lo"),
+            F.max("_id").alias("_hi"),
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+        )
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("_key", "_first")
+    )
+    removed = (
+        occ.join(dup, "_key")
+        .where(
+            ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            )
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_off"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_off").alias("_drop"))
+    )
+    return (
+        base.join(removed, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_ws").alias("n_tokens"),
+            F.coalesce(F.size("_drop"), F.lit(0)).alias("n_removed_tokens"),
+            F.array_join(
+                F.filter(
+                    "_ws",
+                    lambda t, i: ~F.coalesce(
+                        F.array_contains(F.col("_drop"), i), F.lit(False)
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )

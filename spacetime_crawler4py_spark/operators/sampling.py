@@ -31,7 +31,7 @@ function of (salt, id): u(id) = md5-hash of "salt:id" mapped to
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^60: the md5-top-15-hex-digits value range (shared with
@@ -144,3 +144,200 @@ def mixture_sample(
         for s in counts
     }
     return stratified_sample(df, fractions, strata_col, id_col, salt)
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------
+
+
+def _bigram_buckets(text: Column, n_buckets: int) -> Column:
+    """Hashed-bigram feature buckets of a text Column (DSIR §3.1's
+    hashed n-gram featurization, bigram variant): array of
+    shingle_key60(bigram) mod n_buckets, one per adjacent token
+    pair.  DuckDB twin: the same md5-top-60-bit construction the
+    dedup/sampling family already replays."""
+    from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+    from spacetime_crawler4py_spark.operators.dedup import shingle_key60
+
+    words = tokens_ws(F.coalesce(text, F.lit("")))
+    k = F.size(words) - F.lit(1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.pmod(
+                shingle_key60(F.concat_ws(" ", F.slice(words, i, 2))),
+                F.lit(n_buckets),
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight (Xie et al. 2023 §3):
+    log w(x) = Σ_f c_f(x) · (ln p_target(f) − ln p_source(f)) over
+    hashed-bigram feature buckets, with add-``alpha`` smoothed
+    bag-of-features multinomials fit on ``target`` (the domain you
+    want more of) and ``df`` itself (the raw source pool).
+
+    Returns (id, logw); docs with no bigrams score 0.0 (their
+    importance is indistinguishable from the pool).
+
+    Scale shape: two partial-agg groupBys over 4-byte bucket keys
+    (the LMs — at most n_buckets rows each), one one-row totals
+    cross-join (broadcast, same idiom as unigram_logprob), one
+    per-(doc, bucket) count groupBy, and one broadcast join of the
+    ≤n_buckets-row ratio table back to doc-bucket counts.  The
+    corpus shuffles once, keyed by (doc, bucket); nothing all-pairs,
+    nothing through the driver.
+    """
+    a = float(alpha)
+    b_lit = float(n_buckets)
+    src_occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_bigram_buckets(F.col(text_col), n_buckets)).alias("_b"),
+    )
+    tgt_occ = target.select(
+        F.explode(_bigram_buckets(F.col(text_col), n_buckets)).alias("_b")
+    )
+    cs = src_occ.groupBy("_b").agg(F.count("*").alias("_cs"))
+    ct = tgt_occ.groupBy("_b").agg(F.count("*").alias("_ct"))
+    totals = cs.agg(F.sum("_cs").alias("_ts")).crossJoin(
+        ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
+    )
+    lm = (
+        cs.join(ct, "_b", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(a))
+                    / (F.col("_tt") + F.lit(a * b_lit))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cs"), F.lit(0)) + F.lit(a))
+                    / (F.col("_ts") + F.lit(a * b_lit))
+                )
+            ).alias("_r"),
+        )
+    )
+    docb = src_occ.groupBy("_id", "_b").agg(F.count("*").alias("_c"))
+    scored = (
+        docb.join(F.broadcast(lm), "_b")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_c") * F.col("_r")).alias("logw"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights
+    (Xie et al. 2023 §3.2's sampling-without-replacement), made
+    deterministic the way every sampler here is — the Gumbel noise
+    g = −ln(−ln(u)) draws u from ``hash_unit(id, salt)`` (shifted by
+    +0.5/2^60 so u ∈ (0,1) strictly), a pure function of (salt, id)
+    that is retry/partitioning-stable and DuckDB-replayable.
+
+    Returns (id, logw, gumbel_key) — the k selected rows, ordered by
+    (round(key, 6) DESC, id): rounding before ordering pins the
+    boundary against engine-fold FP jitter, ids break exact ties.
+    Plans as TakeOrderedAndProject — no global sort at any scale.
+    """
+    w = dsir_logweights(df, target, id_col, text_col, n_buckets, alpha)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_HASH_RANGE)
+    key = F.col("logw") + (-F.log(-F.log(u)))
+    return (
+        w.select(id_col, "logw", key.alias("gumbel_key"))
+        .orderBy(F.round("gumbel_key", 6).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------
+# cluster-balanced diversity sampling
+# ---------------------------------------------------------------------
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    k: int = 8,
+    n_iter: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "diverse",
+    assign: str = "auto",
+) -> DataFrame:
+    """Diversity sampling over an embedding column: k-means the
+    corpus, then keep (up to) ``per_cluster`` rows from EVERY cluster
+    — the cluster-balanced selection used to counter mode collapse in
+    web corpora (boilerplate-heavy regions of embedding space stop
+    drowning out rare ones; cf. the cluster step of SemDedup, Abbas
+    et al. 2023, pointed at retention instead of removal).
+
+    Within a cluster, rows are ranked by the deterministic hash unit
+    u(id) (ties by id) — retry/partitioning-stable like every sampler
+    here, and SQL-replayable (same md5 idiom).  The fit is the
+    deterministic rounded Lloyd of ``similarity.kmeans_fit``, so the
+    entire fit + assign + rank + cut replays in a DuckDB oracle.
+
+    Returns (id, cid, rnk) for the selected rows.
+
+    Scale shape: assign is the literal/broadcast-join argmin (no
+    shuffle); the rank is one row_number window keyed by cid.  The
+    window's skew exposure is bounded by design — the whole POINT of
+    the fit is clusters of comparable size, and per_cluster ≪ |c|
+    rows survive; for degenerate fits pre-thin with
+    ``stratified_sample`` on cid first.
+    """
+    from spacetime_crawler4py_spark.operators.similarity import (
+        _assign,
+        kmeans_fit,
+    )
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+            assign=assign,
+        )
+    assigned = _assign(emb, centroids, vec_col, id_col, assign)
+    u = hash_unit(F.col(id_col), salt)
+    w = Window.partitionBy("cid").orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        assigned.select(id_col, "cid")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= per_cluster)
+    )

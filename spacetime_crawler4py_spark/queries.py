@@ -1069,6 +1069,68 @@ def samp_mixture_counts(spark, sf_dir):
 
 
 @_q(
+    "samp_dsir_top50",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, lang, unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> (('0x' || substr(md5(array_to_string(
+                      list_slice(ws, i, i + 1), ' ')), 1, 15))::BIGINT
+                     % 1024)::INT)) AS b
+      FROM ws_t
+    ), src AS (
+      SELECT b, COUNT(*) AS cs FROM occ GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*) AS ct FROM occ WHERE lang = 'en' GROUP BY b
+    ), tots AS (
+      SELECT (SELECT SUM(cs) FROM src) AS ts,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+    ), lm AS (
+      SELECT COALESCE(s.b, t.b) AS b,
+             ln((COALESCE(ct, 0) + 1.0) / (tt + 1024.0))
+             - ln((COALESCE(cs, 0) + 1.0) / (ts + 1024.0)) AS r
+      FROM src s FULL JOIN tgt t ON s.b = t.b, tots
+    ), docb AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b
+    ), score AS (
+      SELECT d.doc_id, SUM(c * r) AS logw
+      FROM docb d JOIN lm USING (b) GROUP BY d.doc_id
+    ), keyed AS (
+      SELECT doc.doc_id,
+             COALESCE(s.logw, 0.0) AS logw,
+             COALESCE(s.logw, 0.0)
+             + (-ln(-ln((('0x' || substr(md5('dsir:' || doc.doc_id), 1, 15))::BIGINT
+                         + 0.5) / 1152921504606846976.0))) AS gk
+      FROM documents doc LEFT JOIN score s USING (doc_id)
+    )
+    SELECT doc_id, ROUND(logw, 4) AS logw, ROUND(gk, 4) AS gumbel_key
+    FROM keyed
+    ORDER BY ROUND(gk, 6) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def samp_dsir_top50(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    bag-of-features LMs for target (lang='en') vs the raw pool,
+    per-doc importance log-weights, deterministic Gumbel-top-50
+    selection (noise from the md5 hash-unit, not an RNG). The whole
+    fit + score + select replays in SQL."""
+    from spacetime_crawler4py_spark.operators.sampling import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_sample(d, d.where(F.col("lang") == "en"), k=50)
+    return out.select(
+        "doc_id",
+        F.round("logw", 4).alias("logw"),
+        F.round("gumbel_key", 4).alias("gumbel_key"),
+    )
+
+
+@_q(
     "tq_c4_filters",
     r"""
     WITH t AS (
@@ -1487,6 +1549,64 @@ def clean_dup_span_frac(spark, sf_dir):
 
 
 @_q(
+    "clean_dup_span_removed",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), occ0 AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 4, 0) + 1),
+               i -> struct_pack(
+                 pos := i - 1,
+                 h := ('0x' || substr(md5(array_to_string(
+                        list_slice(ws, i, i + 4), ' ')), 1, 15))::BIGINT))) AS o
+      FROM ws_t
+    ), occ AS (
+      SELECT doc_id, o.pos AS pos, o.h AS h FROM occ0
+    ), dup AS (
+      SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS f
+      FROM occ GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+    ), rem AS (
+      SELECT doc_id, unnest(range(pos, pos + 5)) AS off
+      FROM occ JOIN dup USING (h)
+      WHERE NOT (occ.doc_id = struct_extract(dup.f, 'd')
+                 AND occ.pos = struct_extract(dup.f, 'p'))
+    ), dropped AS (
+      SELECT doc_id, COUNT(DISTINCT off) AS n_removed,
+             list(DISTINCT off) AS offs
+      FROM rem GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(ws) AS n_tokens,
+           COALESCE(d.n_removed, 0) AS n_removed_tokens,
+           md5(COALESCE(array_to_string(
+             list_filter(ws, (t, i) ->
+               NOT COALESCE(list_contains(d.offs, i - 1), FALSE)),
+             ' '), '')) AS text_md5
+    FROM ws_t w LEFT JOIN dropped d USING (doc_id)
+    """,
+)
+def clean_dup_span_removed(spark, sf_dir):
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 §4,
+    dedup-to-one): every occurrence of a cross-doc word 5-gram except
+    its global first (min (doc, pos)) has its offsets cut; docs are
+    reassembled from surviving tokens. The md5 of the reassembled
+    text pins the whole transformation byte-for-byte."""
+    from spacetime_crawler4py_spark.operators.cleaning import dup_span_remove
+
+    d = _t(spark, sf_dir, "documents")
+    out = dup_span_remove(d, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
     "sk_cms_word_counts",
     f"""
     WITH ws AS (
@@ -1627,6 +1747,24 @@ def ann_ivf_join(spark, sf_dir):
         e, q, k=10, n_centroids=256, nprobe=16, n_iter=2, assign="join"
     )
     return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@_q("samp_cluster_balanced", None)  # oracle attached in _finalize
+def samp_cluster_bal(spark, sf_dir):
+    """Cluster-balanced diversity sampling (operators/sampling.py
+    cluster_balanced_sample): k-means the embeddings (same rounded
+    deterministic Lloyd as the IVF rows), keep 5 per cluster ranked
+    by the deterministic hash unit. The DuckDB twin replays fit +
+    assign + rank + cut end-to-end."""
+    from spacetime_crawler4py_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        e, per_cluster=5, k=8, n_iter=2, assign="literal"
+    )
+    return out.select("vec_id", "cid", "rnk")
 
 
 @_q("ann_pq_adc_top10", None)  # oracle attached in _finalize (4 sub-fits)
@@ -3070,6 +3208,37 @@ def _finalize() -> None:
     """
 
     ORACLES["ann_ivf_kpp_top10"] = _kpp_oracle(k=8, l=8, rounds=2, nprobe=2)
+
+    # ---- cluster-balanced diversity sampling: the SAME unrolled
+    # Lloyd fit + final assign, then a per-cluster hash-unit rank cut
+    # (the sampler's u(id) draw replayed with the md5 idiom).
+    ORACLES["samp_cluster_balanced"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), {_assign_cte("a1", "c0")},
+    {_recenter_cte("a1", "c0", "c1")},
+    {_assign_cte("a2", "c1")},
+    {_recenter_cte("a2", "c1", "c2")},
+    {_assign_cte("a3", "c2")},
+    u AS (
+      SELECT vec_id,
+             ('0x' || substr(md5('diverse:' || vec_id), 1, 15))::BIGINT
+               / {_U60} AS uu
+      FROM e
+    ), ranked AS (
+      SELECT a3.vec_id, a3.cid,
+             row_number() OVER (
+               PARTITION BY a3.cid ORDER BY u.uu, a3.vec_id
+             ) AS rnk
+      FROM a3 JOIN u USING (vec_id)
+    )
+    SELECT vec_id, cid, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY cid, rnk
+    """
 
     # ---- SimHash banded near-dup pairs: md5-derived 64-bit feature
     # hash + weighted per-bit votes + 4×16-bit pigeonhole band filter

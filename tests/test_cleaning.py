@@ -141,6 +141,55 @@ def test_dup_span_overlapping_spans_count_once(spark):
     assert out[2]["n_dup_tokens"] == 6
 
 
+def test_dup_span_remove_keep_first(spark):
+    """dup_span_remove == a pure-Python keep-first oracle: every
+    occurrence of a cross-doc 5-gram except its global-first
+    (min (doc, pos)) loses its offsets; docs reassemble from the
+    surviving tokens; overlapping spans merge; null/empty/full-dup
+    docs degrade cleanly."""
+    from spacetime_crawler4py_spark.operators.cleaning import dup_span_remove
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "X alpha beta gamma delta epsilon Y Z W V"),
+        (2, "unique words only here nothing shared at all okay"),
+        (3, None),
+        (4, ""),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),  # full dup of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["text"])
+        for r in dup_span_remove(df, n=5).collect()
+    }
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    import collections
+
+    bykey = collections.defaultdict(list)
+    for i, t in docs:
+        ws = toks(t)
+        for p in range(len(ws) - 4):
+            bykey[" ".join(ws[p : p + 5])].append((i, p))
+    drop = collections.defaultdict(set)
+    for lst in bykey.values():
+        if len({i for i, _ in lst}) >= 2:
+            first = min(lst)
+            for ip in lst:
+                if ip != first:
+                    drop[ip[0]].update(range(ip[1], ip[1] + 5))
+    for i, t in docs:
+        ws = toks(t)
+        kept = [w for j, w in enumerate(ws) if j not in drop[i]]
+        assert got[i] == (len(ws), len(drop[i]), " ".join(kept)), i
+    # doc 0 holds every first occurrence: untouched
+    assert got[0][1] == 0 and got[0][2] == docs[0][1]
+    # doc 5 is a byte-identical dup of 0: fully removed
+    assert got[5] == (8, 8, "")
+
+
 def test_pack_sequences_tiles_each_shard(spark):
     """Within every shard the docs tile the token stream
     contiguously from 0, and the sequence spans are the floor-div

@@ -734,6 +734,111 @@ def test_hash_sampling_deterministic_and_append_stable(spark):
     assert by["big"] <= 120             # ~100 expected, never > original
 
 
+def test_cluster_balanced_sample(spark, emb):
+    """Every cluster contributes ≤ per_cluster rows (and exactly
+    per_cluster when it has enough members); ranks are contiguous
+    from 1; the selection is deterministic under repartitioning and
+    matches the hash-unit order within each cluster."""
+    import hashlib
+
+    from spacetime_crawler4py_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from spacetime_crawler4py_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    out = cluster_balanced_sample(emb, per_cluster=3, k=4, assign="literal")
+    rows = out.collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    cents = kmeans_fit(emb, k=4, n_iter=2, assign="literal")
+    full = {}
+    for r in ivf_assign(emb, cents).collect():
+        full.setdefault(r["cid"], []).append(r["vec_id"])
+    for cid, members in full.items():
+        got = sorted(by_cid.get(cid, []), key=lambda r: r["rnk"])
+        assert len(got) == min(3, len(members))
+        assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+        # hash-unit order: the selected ids are the lowest-u members
+        def u(i):
+            return (
+                int(hashlib.md5(f"diverse:{i}".encode()).hexdigest()[:15], 16),
+                i,
+            )
+        expect = sorted(members, key=u)[: len(got)]
+        assert [r["vec_id"] for r in got] == sorted(
+            expect, key=u
+        )
+    r2 = cluster_balanced_sample(
+        emb.repartition(5), per_cluster=3, k=4, assign="literal"
+    ).collect()
+    assert sorted((r["vec_id"], r["cid"], r["rnk"]) for r in r2) == sorted(
+        (r["vec_id"], r["cid"], r["rnk"]) for r in rows
+    )
+
+
+def test_dsir_weights_and_sample(spark):
+    """dsir_logweights == a pure-Python replay of the hashed-bigram
+    importance weights; target-like docs outscore pool-only docs;
+    dsir_sample is deterministic under repartitioning and returns
+    exactly k rows keyed by Gumbel-top-k."""
+    import hashlib
+    import math
+
+    from spacetime_crawler4py_spark.operators.sampling import (
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    docs = [(i, "the cat sat on the mat " * 3) for i in range(5)] + [
+        (i, "zz qq ww ee rr tt yy " * 3) for i in range(5, 10)
+    ] + [(10, None), (11, "single")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = df.where(F.col("doc_id") < 5)
+
+    B = 1024
+
+    def buckets(t):
+        ws = [w for w in (t or "").lower().split() if w]
+        out = []
+        for i in range(len(ws) - 1):
+            g = " ".join(ws[i : i + 2])
+            out.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B)
+        return out
+
+    cs, ct = {}, {}
+    for i, t in docs:
+        for b in buckets(t):
+            cs[b] = cs.get(b, 0) + 1
+            if i < 5:
+                ct[b] = ct.get(b, 0) + 1
+    ts, tt = sum(cs.values()), sum(ct.values())
+    exp = {}
+    for i, t in docs:
+        exp[i] = sum(
+            math.log((ct.get(b, 0) + 1.0) / (tt + B))
+            - math.log((cs[b] + 1.0) / (ts + B))
+            for b in buckets(t)
+        )
+    got = {r["doc_id"]: r["logw"] for r in dsir_logweights(df, target).collect()}
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-9, (i, got[i], exp[i])
+    # target-like docs must outscore the alien docs
+    assert min(got[i] for i in range(5)) > max(got[i] for i in range(5, 10))
+    # empty/one-token docs: no bigrams -> 0.0
+    assert got[10] == 0.0 and got[11] == 0.0
+    # sample: k rows, deterministic under repartitioning
+    s1 = [r["doc_id"] for r in dsir_sample(df, target, k=6).collect()]
+    s2 = [
+        r["doc_id"]
+        for r in dsir_sample(df.repartition(7), target, k=6).collect()
+    ]
+    assert len(s1) == 6 and s1 == s2
+
+
 def test_c4_gopher_flags(spark):
     """Rule-by-rule behavior on adversarial docs: word-count band,
     mean-word-length band, symbol ratio, function-word gate,
