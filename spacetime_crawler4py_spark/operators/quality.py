@@ -431,3 +431,47 @@ def blocklist_filter(
         F.col("source").alias(key_col)
     )
     return df.join(F.broadcast(blocked), key_col, "left_anti")
+
+
+def length_quantiles(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact per-group quantiles of an INTEGER measure via its
+    histogram — the corpus-profiling summary a filter-threshold
+    sweep needs (where do the Gopher length gates bite per
+    language?), computed the way 100 TB demands.
+
+    Semantics: lower discrete quantile — the smallest value whose
+    cumulative count reaches ceil(q·n).  Exact (no GK/t-digest
+    approximation, no collected value lists): the corpus aggregates
+    to a (group, value) histogram first — one partial-agg groupBy,
+    map-side combinable on hot groups — and the quantile scan is a
+    window over DISTINCT values per group, bounded by the value
+    domain (doc lengths), never by corpus row count.  Integer counts
+    everywhere → bit-identical across engines by construction.
+
+    Returns (group, n, q_<q> …) one row per group.
+    """
+    cnt = df.groupBy(group_col, len_col).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(len_col)
+    w_all = Window.partitionBy(group_col)
+    # both windows share one hashpartitioning(group) exchange — the
+    # histogram is scanned once, no totals re-join
+    j = cnt.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "n", F.sum("_c").over(w_all)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        name = f"q{int(round(q * 100))}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("n")),
+                    F.col(len_col),
+                )
+            ).alias(name)
+        )
+    return j.groupBy(group_col).agg(*aggs)

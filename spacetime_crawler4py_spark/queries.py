@@ -845,6 +845,40 @@ def tq_quality(spark, sf_dir):
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
 
 
+@_q(
+    "tq_len_quantiles",
+    """
+    WITH hist AS (
+      SELECT lang, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY lang, n_chars
+    ), cum AS (
+      SELECT lang, n_chars, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cm
+      FROM hist
+    ), tot AS (
+      SELECT lang, SUM(c) AS n FROM hist GROUP BY lang
+    )
+    SELECT cum.lang,
+           MAX(n) AS n,
+           MIN(CASE WHEN cm >= CEIL(0.5 * n) THEN n_chars END) AS q50,
+           MIN(CASE WHEN cm >= CEIL(0.9 * n) THEN n_chars END) AS q90,
+           MIN(CASE WHEN cm >= CEIL(0.99 * n) THEN n_chars END) AS q99
+    FROM cum JOIN tot USING (lang)
+    GROUP BY cum.lang
+    """,
+)
+def tq_len_quantiles(spark, sf_dir):
+    """Exact per-language doc-length quantiles via the integer
+    histogram (operators/quality.py length_quantiles): lower
+    discrete quantile — smallest length whose cumulative count
+    reaches ceil(q*n). Window runs over distinct lengths per group,
+    never corpus rows."""
+    from spacetime_crawler4py_spark.operators.quality import length_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return length_quantiles(d, qs=(0.5, 0.9, 0.99))
+
+
 @_q("dq_domain_rollup", None)  # oracle attached in _finalize
 def dq_domain_rollup(spark, sf_dir):
     """Domain-level quality curation (operators/quality.py

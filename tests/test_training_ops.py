@@ -734,6 +734,26 @@ def test_hash_sampling_deterministic_and_append_stable(spark):
     assert by["big"] <= 120             # ~100 expected, never > original
 
 
+def test_length_quantiles_exact(spark):
+    """length_quantiles == the explicit lower-discrete-quantile rule
+    (smallest value with cum count >= ceil(q*n)) on a handcrafted
+    histogram with duplicate values and a singleton group."""
+    import math
+
+    from spacetime_crawler4py_spark.operators.quality import length_quantiles
+
+    vals = {"en": [1, 2, 2, 3, 10, 10, 10, 50, 100, 1000], "fr": [7]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {r["lang"]: r for r in length_quantiles(df).collect()}
+    for g, vs in vals.items():
+        s = sorted(vs)
+        for q, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+            exp = s[math.ceil(q * len(s)) - 1]
+            assert got[g][col] == exp, (g, col, got[g][col], exp)
+        assert got[g]["n"] == len(vs)
+
+
 def test_cluster_balanced_sample(spark, emb):
     """Every cluster contributes ≤ per_cluster rows (and exactly
     per_cluster when it has enough members); ranks are contiguous
