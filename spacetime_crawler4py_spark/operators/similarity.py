@@ -161,9 +161,9 @@ def kmeans_fit(
        broadcast TABLE + min(struct) argmin — plan O(1) in k, the
        real-IVF path for k ≥ ~10³ cells; see ivf_assign_join).
        'auto' switches to 'join' at k ≥ 64;
-    2. re-center — posexplode to (cid, pos, val) and a (cid, pos)
-       average: an n·dim-row shuffle into k·dim groups — the
-       standard distributed re-center, no collect of vectors.
+    2. re-center — ONE wide partial agg: per-component ROUND(AVG)
+       columns keyed by cid (map-side combine ships k rows × dim
+       cols per partition; no posexplode, no vector collect).
 
     Centroid components are ROUNDED to ``round_decimals`` — that
     quantization is the operator contract (a coarse quantizer is
@@ -181,22 +181,35 @@ def kmeans_fit(
         cents = [
             (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
         ]
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
     for _ in range(n_iter):
         assigned = _assign(emb, cents, vec_col, id_col, assign)
-        pe = emb.join(assigned, id_col).select(
-            "cid", F.posexplode(vec_col).alias("pos", "val")
-        )
-        avg = pe.groupBy("cid", "pos").agg(
-            F.round(F.avg(F.col("val").cast("double")), round_decimals).alias("v")
-        )
+        # re-center: ONE wide partial agg — per-component avg columns
+        # instead of a posexplode + (cid, pos) shuffle + array
+        # reassembly groupBy.  Same values, same per-component
+        # ROUND(AVG, d) contract (the rounding absorbs fold-order FP
+        # like it always did), two fewer stages per iteration; the
+        # map-side combine ships k rows × dim cols per partition —
+        # byte-equal to the exploded form's k·dim rows.
         rows = (
-            avg.groupBy("cid")
+            emb.join(assigned, id_col)
+            .groupBy("cid")
             .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("a")
+                *[
+                    F.round(
+                        F.avg(F.col(vec_col)[i].cast("double")),
+                        round_decimals,
+                    ).alias(f"_v{i}")
+                    for i in range(dim)
+                ]
             )
             .collect()
         )
-        new = {r["cid"]: [float(x["v"]) for x in r["a"]] for r in rows}
+        new = {
+            r["cid"]: [float(r[f"_v{i}"]) for i in range(dim)] for r in rows
+        }
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
     return cents
 
@@ -491,6 +504,10 @@ def pq_fit(
         ]
         for j in range(m)
     ]
+    # every iteration re-reads the exploded (vec_id, j, subvec) table;
+    # cache it for the loop (at 100 TB this is the checkpoint you'd
+    # materialize once per fit anyway) and release it before return
+    sub = sub.persist()
     for _ in range(n_iter):
         cdf = spark.createDataFrame(
             [
@@ -511,24 +528,29 @@ def pq_fit(
             .groupBy("vec_id", "j")
             .agg(F.min("s").alias("s"))
         )
-        avg = (
-            best.select("j", F.col("s.cid").alias("cid"),
-                        F.posexplode("s.v").alias("pos", "val"))
-            .groupBy("j", "cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("v"))
-        )
+        # re-center: one wide partial agg per (j, cid) — per-component
+        # avg columns replace the posexplode + (j, cid, pos) shuffle +
+        # array-reassembly groupBy (same ROUND(AVG, 6) contract, two
+        # fewer stages per iteration; dsub is small by construction).
         rows = (
-            avg.groupBy("j", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("a"))
+            best.groupBy("j", F.col("s.cid").alias("cid"))
+            .agg(
+                *[
+                    F.round(F.avg(F.col("s.v")[i]), 6).alias(f"_v{i}")
+                    for i in range(dsub)
+                ]
+            )
             .collect()
         )
         new = {
-            (r["j"], r["cid"]): [float(x["v"]) for x in r["a"]] for r in rows
+            (r["j"], r["cid"]): [float(r[f"_v{i}"]) for i in range(dsub)]
+            for r in rows
         }
         books = [
             [(c, new.get((j, c), vec)) for c, vec in book]
             for j, book in enumerate(books)
         ]
+    sub.unpersist()
     return books
 
 
