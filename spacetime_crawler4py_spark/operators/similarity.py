@@ -161,9 +161,9 @@ def kmeans_fit(
        broadcast TABLE + min(struct) argmin — plan O(1) in k, the
        real-IVF path for k ≥ ~10³ cells; see ivf_assign_join).
        'auto' switches to 'join' at k ≥ 64;
-    2. re-center — ONE wide partial agg: per-component ROUND(AVG)
-       columns keyed by cid (map-side combine ships k rows × dim
-       cols per partition; no posexplode, no vector collect).
+    2. re-center — posexplode to (cid, pos, val) and a (cid, pos)
+       average: an n·dim-row shuffle into k·dim groups — the
+       standard distributed re-center, no collect of vectors.
 
     Centroid components are ROUNDED to ``round_decimals`` — that
     quantization is the operator contract (a coarse quantizer is
@@ -183,33 +183,29 @@ def kmeans_fit(
         ]
     if not cents:
         return cents
-    dim = len(cents[0][1])
     for _ in range(n_iter):
         assigned = _assign(emb, cents, vec_col, id_col, assign)
-        # re-center: ONE wide partial agg — per-component avg columns
-        # instead of a posexplode + (cid, pos) shuffle + array
-        # reassembly groupBy.  Same values, same per-component
-        # ROUND(AVG, d) contract (the rounding absorbs fold-order FP
-        # like it always did), two fewer stages per iteration; the
-        # map-side combine ships k rows × dim cols per partition —
-        # byte-equal to the exploded form's k·dim rows.
+        # re-center: posexplode + (cid, pos) partial agg.  An A/B
+        # against the per-component wide-agg form (dim avg columns,
+        # one fewer stage) showed the wide agg ~1.5× SLOWER at
+        # dim=64 — dim aggregate buffers cost more in codegen/eval
+        # than the extra tiny k·dim-row shuffle, which map-side
+        # combine already collapses.  pq_fit keeps the wide form
+        # because its per-subspace dsub is small.
+        pe = emb.join(assigned, id_col).select(
+            "cid", F.posexplode(vec_col).alias("pos", "val")
+        )
+        avg = pe.groupBy("cid", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), round_decimals).alias("v")
+        )
         rows = (
-            emb.join(assigned, id_col)
-            .groupBy("cid")
+            avg.groupBy("cid")
             .agg(
-                *[
-                    F.round(
-                        F.avg(F.col(vec_col)[i].cast("double")),
-                        round_decimals,
-                    ).alias(f"_v{i}")
-                    for i in range(dim)
-                ]
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("a")
             )
             .collect()
         )
-        new = {
-            r["cid"]: [float(r[f"_v{i}"]) for i in range(dim)] for r in rows
-        }
+        new = {r["cid"]: [float(x["v"]) for x in r["a"]] for r in rows}
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
     return cents
 
