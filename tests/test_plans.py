@@ -415,3 +415,47 @@ def test_ivf_pq_composed_plan_is_equi_joins_top_k(spark):
         assign="literal", method="literal",
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in lit.collect()]
+
+
+def test_dup_span_remove_no_cartesian_reassembly_jvm_side(spark):
+    """dup_span_remove's candidate generation must be an equi-join on
+    the 8-byte gram key (never cartesian), and the reassembly must
+    stay JVM-side — the only Python crossing in any documents plan is
+    none at all here (pure Column ops)."""
+    from spacetime_crawler4py_spark.operators.cleaning import dup_span_remove
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dup_span_remove(docs, n=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_sample_take_ordered_no_python(spark):
+    """dsir_sample must plan the selection as TakeOrderedAndProject
+    (never a global Sort) with the LM ratio table broadcast back to
+    doc-bucket counts, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.operators.sampling import dsir_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dsir_sample(docs, docs.where(F.col("lang") == "en"), k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_length_quantiles_single_scan_shared_exchange(spark):
+    """length_quantiles must scan the table ONCE (both windows share
+    the histogram) with a pruned 2-column ReadSchema."""
+    from spacetime_crawler4py_spark.operators.quality import length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(length_quantiles(docs))
+    # "formatted" lists each scan once in the tree and once in the
+    # detail section — one physical scan = exactly two mentions
+    assert plan.count("Scan parquet") == 2
+    assert "lang:string,n_chars:bigint" in plan.replace(" ", "")
