@@ -453,3 +453,55 @@ def dup_span_remove(
             ).alias("text"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# C4 line-level cleaning (boilerplate strip)
+# ---------------------------------------------------------------------
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2) — the
+    boilerplate strip that runs before any other gate: keep a line
+    only if it (a) ends in a terminal punctuation mark (. ! ? \"),
+    (b) has at least ``min_words`` whitespace words, and (c) does not
+    contain the word 'javascript' (case-insensitive); flag the page
+    gates alongside ('lorem ipsum' or a curly brace anywhere on the
+    page ⇒ page_ok = false — C4 drops those pages outright).
+
+    Returns (id, n_lines, n_kept, page_ok, text) with ``text`` the
+    surviving lines re-joined by newline.
+
+    Everything is a JVM Column chain over the split-lines array — no
+    shuffle, no Python, no regex whose dialect could diverge (the
+    terminal-punct test is a substr compare, not a pattern), so the
+    DuckDB oracle replays it verbatim.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+
+    def _keep(l):  # noqa: E741 - l is the conventional line var
+        last = l.substr(F.length(l), F.lit(1))
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return (
+            last.isin(".", "!", "?", '"')
+            & (words >= F.lit(min_words))
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (
+            ~F.contains(F.lower(txt), F.lit("lorem ipsum"))
+            & ~F.contains(txt, F.lit("{"))
+        ).alias("page_ok"),
+        F.array_join(kept, "\n").alias("text"),
+    )

@@ -1378,6 +1378,51 @@ _PII_PHONE = r"\(?\d{3}\)?[ -]\d{3}-\d{4}"
 
 
 @_q(
+    "clean_c4_lines",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS txt,
+             string_split(COALESCE(text, ''), chr(10)) AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, txt, lines,
+             list_filter(lines, l ->
+               substr(l, length(l), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split_regex(l, '\s+'),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(kept) AS n_kept,
+           (NOT contains(lower(txt), 'lorem ipsum')
+            AND NOT contains(txt, '{')) AS page_ok,
+           md5(COALESCE(array_to_string(kept, chr(10)), '')) AS text_md5
+    FROM k
+    """,
+)
+def clean_c4_lines(spark, sf_dir):
+    """C4 line-level boilerplate strip (Raffel et al. 2020 §2.2):
+    keep lines ending in terminal punctuation with ≥3 words and no
+    'javascript'; flag the lorem-ipsum / curly-brace page gates. All
+    JVM Column math — the terminal-punct test is a substr compare,
+    not a regex, so both engines agree by construction."""
+    from spacetime_crawler4py_spark.operators.cleaning import c4_line_clean
+
+    d = _t(spark, sf_dir, "documents")
+    out = c4_line_clean(d)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "page_ok",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
     "clean_line_dedup",
     r"""
     WITH ws_t AS (

@@ -141,6 +141,36 @@ def test_dup_span_overlapping_spans_count_once(spark):
     assert out[2]["n_dup_tokens"] == 6
 
 
+def test_c4_line_clean_rules(spark):
+    """Each C4 line rule bites independently (terminal punct, ≥3
+    words, no 'javascript'); page gates flag lorem-ipsum and curly
+    braces; null/empty degrade to 0 kept lines with page_ok."""
+    from spacetime_crawler4py_spark.operators.cleaning import c4_line_clean
+
+    docs = [
+        (0, 'Good full sentence here.\nshort.\nNo terminal punct line\n'
+            'Another fine sentence!\nEnable JavaScript to view.\n'
+            'Quoted line is kept too."'),
+        (1, "lorem ipsum dolor sit amet.\nA perfectly good line."),
+        (2, "var x = { a: 1 };\nGood line stays here."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept"] == 3
+    assert got[0]["text"] == (
+        'Good full sentence here.\nAnother fine sentence!\n'
+        'Quoted line is kept too."'
+    )
+    assert got[0]["page_ok"]
+    assert not got[1]["page_ok"] and got[1]["n_kept"] == 2
+    assert not got[2]["page_ok"] and got[2]["n_kept"] == 1
+    for i in (3, 4):
+        assert got[i]["n_kept"] == 0 and got[i]["page_ok"]
+        assert got[i]["text"] == ""
+
+
 def test_dup_span_remove_keep_first(spark):
     """dup_span_remove == a pure-Python keep-first oracle: every
     occurrence of a cross-doc 5-gram except its global-first
