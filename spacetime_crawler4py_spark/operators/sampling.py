@@ -341,3 +341,52 @@ def cluster_balanced_sample(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= per_cluster)
     )
+
+
+# ---------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis A-Res key u(id)^(1/w) — take the k largest
+    keys and the inclusion probabilities match sequential weighted
+    draws exactly (Efraimidis & Spirakis 2006, IPL 97(5)).  The
+    uniform draw is the md5 hash unit (shifted into (0,1)), so the
+    sample is a pure function of (salt, id, w): partitioning-,
+    retry- and append-stable like every sampler here, and replayable
+    in one line of SQL.
+
+    Rows with weight ≤ 0 or NULL are excluded (key undefined).
+    Plans as TakeOrderedAndProject on (round(key, 9) DESC, id) —
+    no global sort; ties broken by id after rounding pins the
+    boundary against FP jitter.
+
+    This is the corpus-mixing primitive quality-weighted selection
+    wants (sample k docs ∝ quality score) — the importance-weighted
+    cousin of ``dsir_sample``'s Gumbel-top-k (Gumbel keys add
+    log-weights; A-Res exponentiates — both deterministic here).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_HASH_RANGE)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("samp_key", key)
+        .orderBy(F.round("samp_key", 9).desc(), F.col(id_col))
+        .limit(k)
+    )

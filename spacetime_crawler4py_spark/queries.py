@@ -1165,6 +1165,36 @@ def samp_dsir_top50(spark, sf_dir):
 
 
 @_q(
+    "samp_weighted_top30",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             pow((('0x' || substr(md5('wsamp:' || doc_id), 1, 15))::BIGINT
+                  + 0.5) / 1152921504606846976.0,
+                 1.0 / n_chars) AS k
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, ROUND(k, 6) AS samp_key
+    FROM keyed
+    ORDER BY ROUND(k, 9) DESC, doc_id
+    LIMIT 30
+    """,
+)
+def samp_weighted_top30(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res: key u(id)^(1/w), take k largest) with
+    doc length as the weight — the corpus-mixing primitive for
+    quality-weighted selection. Hash-unit draw, one-line SQL replay,
+    TakeOrderedAndProject plan."""
+    from spacetime_crawler4py_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(d, k=30, weight_col="n_chars")
+    return out.select("doc_id", F.round("samp_key", 6).alias("samp_key"))
+
+
+@_q(
     "tq_c4_filters",
     r"""
     WITH t AS (

@@ -734,6 +734,37 @@ def test_hash_sampling_deterministic_and_append_stable(spark):
     assert by["big"] <= 120             # ~100 expected, never > original
 
 
+def test_weighted_sample_ares(spark):
+    """weighted_sample == the Efraimidis-Spirakis keys computed in
+    Python (u^(1/w), top-k); zero/negative/null weights excluded;
+    deterministic under repartitioning; heavier rows win ties of u."""
+    import hashlib
+
+    from spacetime_crawler4py_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in enumerate([1, 5, 100, 0, 3, 7, 2, 50])]
+    rows.append((8, None))
+    rows.append((9, -2.0))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return u ** (1.0 / w)
+
+    valid = [(i, w) for i, w in rows if w is not None and w > 0]
+    exp = sorted(
+        valid, key=lambda t: (-round(key(*t), 9), t[0])
+    )[:4]
+    got = weighted_sample(df, k=4, weight_col="w").collect()
+    assert [r["doc_id"] for r in got] == [i for i, _ in exp]
+    for r in got:
+        w = dict(valid)[r["doc_id"]]
+        assert abs(r["samp_key"] - key(r["doc_id"], w)) < 1e-12
+    got2 = weighted_sample(df.repartition(5), k=4, weight_col="w").collect()
+    assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in got]
+
+
 def test_length_quantiles_exact(spark):
     """length_quantiles == the explicit lower-discrete-quantile rule
     (smallest value with cum count >= ceil(q*n)) on a handcrafted
