@@ -150,3 +150,89 @@ def search(
     return top.join(F.broadcast(docs.select("doc_id", "url")), "doc_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# phrase search (positional posting intersection)
+# ---------------------------------------------------------------------
+
+
+def phrase_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ord, token): token-ORDINAL postings over lowered
+    whitespace tokens — the positional index phrase queries need
+    (the reference's char-offset positions, indexerV1.py:214, can't
+    express adjacency; ordinals can).  At deployment this is written
+    partitioned by token prefix so per-term scans prune."""
+    from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_ws(txt)).alias("ord", "token"),
+    )
+
+
+def phrase_count(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "index",
+) -> DataFrame:
+    """Per-doc count of exact phrase occurrences (consecutive
+    whitespace tokens, lowered).  Two bit-identical paths:
+
+    - ``method='index'`` — the classic IR positional intersection:
+      each phrase term's postings are shifted to a common start
+      ordinal (ord − i) and chained through equi-joins on
+      (doc_id, start); every surviving row is one occurrence.  Term
+      postings are filtered by token BEFORE any join, so the joins
+      see only matching-term rows — selective terms prune early, and
+      at 10^10 docs each join is an equi-join on a compound key with
+      posting-list-bounded sides.
+    - ``method='scan'`` — a narrow JVM re-scan: count window starts
+      where slice(tokens, i, n) equals the phrase array.  No index,
+      no shuffle; right when the query set is known at scan time.
+
+    Returns (doc_id, n_matches) for docs with ≥1 match.
+    """
+    toks = [w for w in phrase.lower().split() if w]
+    if not toks:
+        raise ValueError("empty phrase")
+    if method == "scan":
+        from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+
+        txt = F.coalesce(F.col(text_col), F.lit(""))
+        ws = tokens_ws(txt)
+        n = len(toks)
+        lit = F.array(*[F.lit(t) for t in toks])
+        # NB: sequence(1, 0) DESCENDS in Spark — gate short docs out
+        # before building the window-start sequence
+        cnt = F.when(
+            F.size(ws) >= n,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+                    lambda i: F.slice(ws, i, n) == lit,
+                )
+            ),
+        ).otherwise(F.lit(0))
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), cnt.alias("n_matches"))
+            .where(F.col("n_matches") > 0)
+        )
+    if method != "index":
+        raise ValueError(f"method must be 'index' or 'scan', got {method!r}")
+    p = phrase_postings(docs, id_col, text_col)
+    parts = [
+        p.where(F.col("token") == t).select(
+            "doc_id", (F.col("ord") - F.lit(i)).alias("start")
+        )
+        for i, t in enumerate(toks)
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, ["doc_id", "start"], "inner"), parts
+    )
+    return joined.groupBy("doc_id").agg(F.count("*").alias("n_matches"))

@@ -627,6 +627,37 @@ _SEARCH_BM25_TERMS = ("data", "vector", "stream")
 
 
 @_q(
+    "search_phrase_counts",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(range(1, greatest(len(w) - 1, 0) + 1),
+                           i -> w[i] = 'hash' AND w[i + 1] = 'join'))
+             AS n_matches
+    FROM t
+    WHERE len(w) >= 2
+      AND len(list_filter(range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] = 'hash' AND w[i + 1] = 'join')) > 0
+    """,
+)
+def search_phrase_counts(spark, sf_dir):
+    """Positional phrase search (indexing/search.py phrase_count,
+    method='index'): each phrase term's ordinal postings shifted to a
+    common start and chained through (doc_id, start) equi-joins —
+    the classic IR positional intersection. The scan-path twin and
+    the SQL oracle count the same windows."""
+    from spacetime_crawler4py_spark.indexing.search import phrase_count
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_count(d, "hash join", method="index")
+
+
+@_q(
     "search_bm25_top10",
     f"""
     WITH toks AS (

@@ -180,3 +180,37 @@ def test_incremental_index_equals_full_rebuild(spark, tmp_path):
         for r in I.current_scores(spark, idx).collect()
     }
     assert after == full
+
+
+def test_phrase_count_index_equals_scan(spark):
+    """phrase_count: the positional-intersection index path and the
+    narrow scan path count identical windows — incl. overlapping
+    occurrences, repeated phrase words, odd whitespace/case, and
+    null/short docs (which produce no row)."""
+    from spacetime_crawler4py_spark.indexing.search import phrase_count
+
+    docs = [
+        (0, "the hash join beats the sort merge join here"),
+        (1, "hash join hash join hash join"),
+        (2, "join hash no phrase"),
+        (3, "HASH   JOIN with odd spacing and case"),
+        (4, None),
+        (5, ""),
+        (6, "hash"),
+        (7, "a a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for phrase, expect in [
+        ("hash join", {0: 1, 1: 3, 3: 1}),
+        ("a a", {7: 3}),  # overlapping windows all count
+        ("hash join hash", {1: 2}),
+    ]:
+        idx = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_count(df, phrase, method="index").collect()
+        }
+        scan = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_count(df, phrase, method="scan").collect()
+        }
+        assert idx == scan == expect, (phrase, idx, scan)
