@@ -77,6 +77,12 @@ def run_crawl_bench(spark) -> dict:
             status_path=f"{corpus}/fetch_status.parquet",
             seeds=SEED_URLS,
             window_ms=BENCH_WINDOW_MS,  # default cap 2000/host: drain fast
+            # fold frontier logs every N batches (0 = off) — the
+            # wide-batch stress runs with this ON to evidence flat
+            # schedule-stage cost as history grows (BENCH.md)
+            compact_every=int(
+                os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "0")
+            ),
         )
         t0 = time.time()
         eng.run()
