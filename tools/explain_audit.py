@@ -144,6 +144,31 @@ def main() -> None:
         "wide exchange, split a hash projection (no extra shuffle).",
         QUERIES["corpus_build_domain_counts"](spark, sf_dir),
     )
+    from spacetime_crawler4py_spark.indexing.search import phrase_count
+    from spacetime_crawler4py_spark.operators.cleaning import c4_line_clean
+    from spacetime_crawler4py_spark.operators.sampling import weighted_sample
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit(
+        "C4 line-level clean (boilerplate strip)",
+        "Wants: a single narrow whole-stage Project over the pruned "
+        "scan — no Exchange, no Python; the line filter and page "
+        "gates are one Column chain.",
+        c4_line_clean(docs_t),
+    )
+    audit(
+        "phrase search (positional posting intersection)",
+        "Wants: per-term postings filtered by token BEFORE any join, "
+        "then (doc_id, start) equi-joins — no cartesian, no Python; "
+        "final count a two-phase hash agg.",
+        phrase_count(docs_t, "hash join", method="index"),
+    )
+    audit(
+        "weighted sample (A-Res top-k)",
+        "Wants: TakeOrderedAndProject over the hash-derived key — "
+        "no global Sort, no shuffle beyond the take.",
+        weighted_sample(docs_t, k=30, weight_col="n_chars"),
+    )
     audit(
         "SemDedup (cluster-bounded semantic dedup)",
         "Wants: one hashpartitioning(cid) exchange for the rank "
