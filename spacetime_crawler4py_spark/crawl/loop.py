@@ -357,12 +357,23 @@ class CrawlEngine:
             .withColumn("url_hash", col_urlhash(F.col("url")))
         )
 
-        # within-batch dedup: first occurrence wins (reference add-order)
-        w_first = Window.partitionBy("url_hash").orderBy("fetch_order", "pos")
+        # within-batch dedup: first occurrence wins (reference
+        # add-order).  min(struct(fetch_order, pos, url)) is the
+        # row_number()==1 window's exact twin — (fetch_order, pos) is
+        # unique per link row, so the lexicographic min IS the first
+        # occurrence and the carried url is that occurrence's — but
+        # partial-aggregatable: the hot key (a sitewide boilerplate
+        # link appearing on every page of the batch) collapses
+        # map-side instead of funneling through one window task.
         candidates = (
-            links.withColumn("_rn", F.row_number().over(w_first))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "link")
+            links.groupBy("url_hash")
+            .agg(F.min(F.struct("fetch_order", "pos", "url")).alias("_f"))
+            .select(
+                "url_hash",
+                F.col("_f.fetch_order").alias("fetch_order"),
+                F.col("_f.pos").alias("pos"),
+                F.col("_f.url").alias("url"),
+            )
         )
 
         # ---- seen-set dedup (F8/J1): bloom fast path + exact anti-join.
