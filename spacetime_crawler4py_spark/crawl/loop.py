@@ -39,7 +39,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spacetime_crawler4py_spark.frontier.bloom import build_bloom, with_might_contain
