@@ -1074,3 +1074,78 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- feature hashing
+
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free document vectors by feature hashing (the
+    HashingVectorizer construction: token → md5-derived bucket mod
+    ``dim``, vector = bucket counts, optionally L2-normalized) — the
+    text→embedding on-ramp for every vector operator here (brute
+    force / LSH / IVF / PQ / SemDedup) when no learned model is
+    available.  Plain counts rather than signed hashing: the sign
+    trick only matters at dim ≪ vocab collisions AND signed dot
+    products, and unsigned counts replay in SQL with integer
+    exactness.
+
+    Returns (id, vector array<double>).  Scale shape: one token
+    explode → one (id, bucket) partial-agg count → one per-doc
+    map assembly (bounded by min(dim, doc vocab)); the dense
+    array materializes only at the final projection.
+    """
+    from spacetime_crawler4py_spark.functions.text_quality import tokens_ws
+    from spacetime_crawler4py_spark.operators.dedup import shingle_key60
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens_ws(txt)).alias("_tok"),
+        )
+        .select(
+            "_id",
+            F.pmod(shingle_key60(F.col("_tok")), F.lit(dim))
+            .cast("int")
+            .alias("_b"),
+        )
+        .groupBy("_id", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    m = counts.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_b", F.col("_c").cast("double")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        vec = F.when(
+            nrm > 0, F.transform(vec, lambda x: x / nrm)
+        ).otherwise(vec)
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(m, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_m").isNotNull(), vec)
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(0.0)
+                )
+            )
+            .alias("vector"),
+        )
+    )

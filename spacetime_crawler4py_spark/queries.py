@@ -1853,6 +1853,60 @@ def sk_hh(spark, sf_dir):
     return heavy_hitters(e, "user_id", phi=75.0 / n)
 
 
+@_q(
+    "ann_hashvec_top10",
+    r"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t.w), 1, 15))::BIGINT) % 64)::INT AS b
+      FROM (SELECT doc_id, unnest(ws) AS w FROM ws_t) t
+    ), cnt AS (
+      SELECT doc_id, b, COUNT(*)::DOUBLE AS c FROM occ GROUP BY doc_id, b
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(c * c)) AS n FROM cnt GROUP BY doc_id
+    ), q AS (
+      SELECT b, c FROM cnt WHERE doc_id = 0
+    ), dot AS (
+      SELECT cnt.doc_id, SUM(cnt.c * q.c) AS d
+      FROM cnt JOIN q USING (b) GROUP BY cnt.doc_id
+    )
+    SELECT n2.doc_id,
+           ROUND(COALESCE(d, 0.0)
+                 / (n2.n * (SELECT n FROM nrm WHERE doc_id = 0)), 4) AS score
+    FROM nrm n2 LEFT JOIN dot USING (doc_id)
+    WHERE n2.n > 0
+    ORDER BY score DESC, n2.doc_id
+    LIMIT 10
+    """,
+)
+def ann_hashvec(spark, sf_dir):
+    """Model-free text similarity: feature-hashed doc vectors
+    (operators/similarity.py hashed_doc_vectors — HashingVectorizer
+    construction over the md5 token buckets) + exact cosine top-10
+    vs doc 0. The oracle computes the same cosine from the SPARSE
+    (doc, bucket, count) form — mathematically identical, so a hash
+    match certifies the dense assembly too."""
+    from spacetime_crawler4py_spark.operators.similarity import (
+        brute_force_topk,
+        hashed_doc_vectors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dim=64)
+    q = [
+        float(x)
+        for x in vecs.where(F.col("doc_id") == 0).first()["vector"]
+    ]
+    out = brute_force_topk(vecs, q, k=10, vec_col="vector", id_col="doc_id")
+    return out.select(
+        F.col("vec_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 @_q("ann_ivf_top10", None)  # oracle attached in _finalize (unrolled Lloyd)
 def ann_ivf(spark, sf_dir):
     """IVF ANN (operators/similarity.py): deterministic k-means

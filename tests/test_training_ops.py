@@ -734,6 +734,44 @@ def test_hash_sampling_deterministic_and_append_stable(spark):
     assert by["big"] <= 120             # ~100 expected, never > original
 
 
+def test_hashed_doc_vectors(spark):
+    """hashed_doc_vectors == the Python HashingVectorizer replay
+    (md5 token buckets, counts, L2 norm); null/empty docs get the
+    zero vector; identical docs get identical vectors (the vector
+    feeds the dedup/ANN family, so exactness matters)."""
+    import hashlib
+    import math
+
+    from spacetime_crawler4py_spark.operators.similarity import (
+        hashed_doc_vectors,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat"),
+        (2, None),
+        (3, ""),
+        (4, "the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["vector"] for r in hashed_doc_vectors(df, dim=16).collect()}
+
+    def py_vec(t, dim=16):
+        v = [0.0] * dim
+        for w in (t or "").lower().split():
+            if w:
+                b = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % dim
+                v[b] += 1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for i, t in docs:
+        exp = py_vec(t)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[i], exp)), i
+    assert got[2] == [0.0] * 16 and got[3] == [0.0] * 16
+    assert got[0] == got[4]
+
+
 def test_weighted_sample_ares(spark):
     """weighted_sample == the Efraimidis-Spirakis keys computed in
     Python (u^(1/w), top-k); zero/negative/null weights excluded;
