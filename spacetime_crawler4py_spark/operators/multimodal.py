@@ -13,15 +13,17 @@ web corpus:
   padding, BGR byte order; PNG (8-bit non-interlaced RGB/RGBA,
   zlib inflate + all 5 filters); baseline sequential JPEG
   (ITU-T T.81 — huffman decode, dequant, IDCT, chroma upsample,
-  YCbCr→RGB; DRI/RSTn restarts).
+  YCbCr→RGB; DRI/RSTn restarts) AND progressive JPEG (SOF2 —
+  spectral selection + successive approximation, EOB runs, the
+  Annex-G refinement algorithm).
 - audio: RIFF/WAVE PCM via the stdlib ``wave`` module (8/16-bit).
 
 ``encode_bmp``/``encode_png``/``encode_jpeg``/``encode_wav``
 produce those formats so fixtures and the synthetic media
 generator exercise the real decode path end-to-end.  The remaining
-exotic variants (progressive JPEG, interlaced PNG, MP3/MP4) still
-raise NotImplementedError unless ``fake=True``, which substitutes
-a deterministic content-hash-derived stand-in.
+exotic variants (interlaced PNG, 12-bit/arithmetic JPEG, MP3/MP4)
+still raise NotImplementedError unless ``fake=True``, which
+substitutes a deterministic content-hash-derived stand-in.
 
 Design for 100 TB of media:
 - media rows are (id, kind, media binary, meta struct) — the binary
@@ -88,11 +90,11 @@ def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
 
     REAL paths: uncompressed 24-bpp BI_RGB BMP (struct parse),
     8-bit non-interlaced RGB/RGBA PNG (decode_png — zlib inflate +
-    filter reconstruction, all stdlib) and baseline sequential JPEG
-    (decode_jpeg — huffman + dequant + IDCT, stdlib+numpy).  The
-    remaining exotic variants (progressive JPEG, interlaced PNG,
-    paletted BMP) → NotImplementedError, or the deterministic
-    stand-in when ``fake=True``.
+    filter reconstruction, all stdlib) and both baseline (SOF0/1)
+    and progressive (SOF2) JPEG (huffman + dequant + IDCT,
+    stdlib+numpy).  The remaining exotic variants (interlaced PNG,
+    12-bit/arithmetic JPEG, paletted BMP) → NotImplementedError, or
+    the deterministic stand-in when ``fake=True``.
     """
     import struct
 
@@ -108,6 +110,12 @@ def decode_image(raw: bytes, fake: bool = False) -> np.ndarray:
         except NotImplementedError:
             if not fake:
                 raise
+        except (ValueError, IndexError, struct.error) as e:
+            # truncated/corrupt header bytes surface as low-level
+            # parse errors — normalize to the clean decode-failure
+            # contract so callers see one exception type
+            if not fake:
+                raise NotImplementedError(f"corrupt JPEG: {e}") from e
     if len(raw) >= 54 and raw[:2] == b"BM":
         off = struct.unpack_from("<I", raw, 10)[0]
         hdr_size = struct.unpack_from("<I", raw, 14)[0]
@@ -721,10 +729,11 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     """Baseline sequential JPEG → HxWx3 uint8 (RGB), stdlib+numpy.
 
     Supports SOF0/SOF1 (8-bit huffman), 1 or 3 components, sampling
-    factors ≤ 4, interleaved single-scan data, DRI/RSTn restarts.
-    Progressive (SOF2), arithmetic coding, 12-bit precision and
-    multi-scan files raise NotImplementedError — the fake=True
-    stand-in path remains for those."""
+    factors ≤ 4, interleaved single-scan data, DRI/RSTn restarts;
+    progressive (SOF2) streams route to _decode_jpeg_progressive.
+    Arithmetic coding, 12-bit precision and baseline multi-scan
+    files raise NotImplementedError — the fake=True stand-in path
+    remains for those."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -776,7 +785,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            return _decode_jpeg_progressive(raw)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"unsupported JPEG SOF marker {marker:#x}")
         elif marker == 0xDD:  # DRI
@@ -860,6 +869,523 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _jpeg_pixels(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Shared JPEG tail: per-component upsample + crop + colorspace."""
+    up = []
+    for ci, (_cid, hh, v, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hh < hmax:
+            p = np.repeat(p, hmax // hh, axis=1)
+        if v < vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        up.append(p[:h, :w])
+    if len(up) == 1:
+        g = np.clip(up[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _skip_entropy(raw: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment to the next real marker
+    (skipping 0xFF00 stuffing and RSTn markers)."""
+    n = len(raw)
+    while pos + 1 < n:
+        if raw[pos] == 0xFF:
+            nxt = raw[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """HxWx3 uint8 (RGB) → PROGRESSIVE JFIF bytes (SOF2), stdlib+
+    numpy.  The scan script exercises every progressive decode path:
+
+    1. DC first, interleaved, successive approximation Al=1;
+    2. DC refinement (Ah=1, Al=0) — raw bits;
+    3. luma AC bands (1-5, 6-63) first scans at Al=1 (EOB-coded);
+    4. luma AC refinement scans (Ah=1, Al=0) per band — the
+       G.1.2.3 correction-bit algorithm (jcphuff structure, EOB runs
+       flushed per block so the Annex-K tables suffice);
+    5. chroma AC full-band first scans at Al=0.
+
+    Coefficients therefore reconstruct EXACTLY the baseline-encoder
+    quantized values — decode parity with encode_jpeg is pinned by
+    tests."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    assert subsample in ("444", "420")
+    qy, qc = _quality_tables(quality)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    if subsample == "420":
+        hy, vy = 2, 2
+        pad_h, pad_w = (-h) % 16, (-w) % 16
+    else:
+        hy, vy = 1, 1
+        pad_h, pad_w = (-h) % 8, (-w) % 8
+
+    def _pad(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge")
+
+    y, cb, cr = _pad(y), _pad(cb), _pad(cr)
+    if subsample == "420":
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+
+    def _blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M @ blk @ _DCT_M.T
+                out[by, bx] = np.round(coef.ravel() / qt).astype(np.int64)[
+                    _ZIGZAG
+                ]
+        return out
+
+    Z = [_blocks(y, qy), _blocks(cb, qc), _blocks(cr, qc)]
+    samp = [(hy, vy), (1, 1), (1, 1)]
+    mcuy, mcux = y.shape[0] // (8 * vy), y.shape[1] // (8 * hy)
+    dc_y, ac_y = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+    dc_tbls, ac_tbls = [dc_y, dc_c, dc_c], [ac_y, ac_c, ac_c]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | td])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    out += sos_header([0, 1, 2], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hh, v = samp[ci]
+                for by in range(v):
+                    for bx in range(hh):
+                        dc = int(Z[ci][my * v + by, mx * hh + bx, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s, bits = _magnitude(diff)
+                        ln, code = dc_tbls[ci][s]
+                        bw_.put(code, ln)
+                        if s:
+                            bw_.put(bits, s)
+    bw_.flush()
+    out += bytes(bw_.buf)
+
+    # ---- scan 2: DC refinement (raw bits, Ah=1 Al=0)
+    out += sos_header([0, 1, 2], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hh, v = samp[ci]
+                for by in range(v):
+                    for bx in range(hh):
+                        bw_.put(int(Z[ci][my * v + by, mx * hh + bx, 0]) & 1, 1)
+    bw_.flush()
+    out += bytes(bw_.buf)
+
+    def _comp_raster(ci: int) -> tuple[int, int]:
+        """Non-interleaved scans cover ceil(comp_dim/8) blocks — NOT
+        the MCU-padded grid (they differ for 4:2:0 luma at odd
+        sizes); padding blocks are coded only by interleaved DC."""
+        hh, v = samp[ci]
+        cw = -(-(w * hh) // hy)
+        ch = -(-(h * v) // vy)
+        return -(-ch // 8), -(-cw // 8)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        ac = ac_tbls[ci]
+        bw2 = _BitWriter()
+        bh, bwid = _comp_raster(ci)
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = Z[ci][by, bx]
+                tvals = [
+                    (abs(int(blk[k])) >> al) * (1 if blk[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last = -1
+                for i, t in enumerate(tvals):
+                    if t != 0:
+                        last = i
+                if last < 0:
+                    ln, code = ac[0x00]  # EOB, run of 1 (flushed per block)
+                    bw2.put(code, ln)
+                    continue
+                run = 0
+                for i in range(last + 1):
+                    t = tvals[i]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac[0xF0]
+                        bw2.put(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(t)
+                    ln, code = ac[(run << 4) | s]
+                    bw2.put(code, ln)
+                    bw2.put(bits, s)
+                    run = 0
+                if last < se - ss:
+                    ln, code = ac[0x00]
+                    bw2.put(code, ln)
+        bw2.flush()
+        return sos_header([ci], ss, se, 0, al) + bytes(bw2.buf)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # jcphuff encode_mcu_AC_refine, EOB runs flushed per block
+        ac = ac_tbls[ci]
+        bw2 = _BitWriter()
+        bh, bwid = _comp_raster(ci)
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = Z[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eobpos = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                pending: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        ln, code = ac[0xF0]
+                        bw2.put(code, ln)
+                        r -= 16
+                        for b in pending:
+                            bw2.put(b, 1)
+                        pending = []
+                    if t > 1:
+                        pending.append(t & 1)
+                        continue
+                    ln, code = ac[(r << 4) | 1]
+                    bw2.put(code, ln)
+                    bw2.put(0 if blk[ss + i] < 0 else 1, 1)
+                    for b in pending:
+                        bw2.put(b, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    ln, code = ac[0x00]
+                    bw2.put(code, ln)
+                    for b in pending:
+                        bw2.put(b, 1)
+        bw2.flush()
+        return sos_header([ci], ss, se, al + 1, al) + bytes(bw2.buf)
+
+    # ---- luma AC: band first scans at Al=1, then refinements to Al=0
+    out += ac_first_scan(0, 1, 5, 1)
+    out += ac_first_scan(0, 6, 63, 1)
+    out += ac_refine_scan(0, 1, 5, 0)
+    out += ac_refine_scan(0, 6, 63, 0)
+    # ---- chroma AC: full-precision full-band first scans
+    out += ac_first_scan(1, 1, 63, 0)
+    out += ac_first_scan(2, 1, 63, 0)
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(qt[i]) for i in _ZIGZAG))
+
+    def dht(cls: int, tid: int, table: tuple) -> bytes:
+        bits, vals = table
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return bytes(
+        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+        + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        + sof + bytes(out) + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg_progressive(raw: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2, T.81 Annex G): spectral selection +
+    successive approximation, huffman entropy coding.
+
+    Multi-scan bookkeeping: every scan updates per-component
+    COEFFICIENT arrays (DC first/refine with point transform, AC
+    first with EOBRUN, AC refinement per G.1.2.3 — the jdphuff
+    decode_mcu_AC_refine structure); dequant + IDCT + upsample run
+    ONCE after all scans.  Interleaved (multi-component) scans use
+    MCU geometry; non-interleaved scans walk the component's own
+    ceil(dim/8) block raster.  DRI/RSTn restarts reset predictors
+    and the EOB run."""
+    import struct
+
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dcs: dict[int, dict] = {}
+    acs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = None
+    dri = 0
+    # (scan_comps [(ci, td, ta)], ss, se, ah, al, data_pos, dri,
+    #  dc-tables snapshot, ac-tables snapshot)
+    scans: list[tuple] = []
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise NotImplementedError("corrupt JPEG marker stream")
+        marker = raw[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", raw, pos + 2)[0]
+        body = raw[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                t = np.zeros(64)
+                t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, p + 1)
+                qts[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                (acs if cls else dcs)[tid] = _huff_decoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("mixed/unsupported SOF in progressive")
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            sc = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(
+                    j for j, (cid, *_r) in enumerate(comps) if cid == cs
+                )
+                sc.append((ci, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            data_pos = pos + 2 + ln
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 0xF, data_pos, dri,
+                 dict(dcs), dict(acs))
+            )
+            pos = _skip_entropy(raw, data_pos)
+            continue
+        pos += 2 + ln
+    if h is None or not scans:
+        raise NotImplementedError("progressive JPEG missing SOF2/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # coefficient grids at interleaved-padded size; non-interleaved
+    # scans only touch the component's own ceil(dim/8) raster
+    coefs = [
+        np.zeros((mcuy * v * mcux * hh, 64), dtype=np.int64)
+        for _cid, hh, v, _tq in comps
+    ]
+    grid_w = [mcux * hh for _cid, hh, _v, _tq in comps]
+
+    def _ceil(a: int, b: int) -> int:
+        return -(-a // b)
+
+    # non-interleaved raster: ceil(ceil(dim·sampling/max)/8) blocks
+    comp_bw = [
+        _ceil(_ceil(w * hh, hmax), 8) for _cid, hh, _v, _tq in comps
+    ]
+    comp_bh = [
+        _ceil(_ceil(h * v, vmax), 8) for _cid, _hh, v, _tq in comps
+    ]
+
+    for sc, ss, se, ah, al, data_pos, s_dri, s_dcs, s_acs in scans:
+        # progressive scans are either DC (Ss=Se=0) or a pure AC band
+        # (1 ≤ Ss ≤ Se) — anything else (e.g. a baseline full-band
+        # scan mislabeled SOF2) is malformed
+        if (ss == 0) != (se == 0):
+            raise NotImplementedError("malformed progressive scan band")
+        br = _BitReader(raw, data_pos)
+        pred = {ci: 0 for ci, _td, _ta in sc}
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+
+        def dc_first(ci, td, bi):
+            nonlocal pred
+            s = _read_symbol(br, s_dcs[td])
+            pred[ci] += _extend(br.bits(s), s)
+            coefs[ci][bi][0] = pred[ci] << al
+
+        def dc_refine(ci, bi):
+            if br.bits(1):
+                coefs[ci][bi][0] |= p1
+
+        def ac_first(ci, ta, bi):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            blk = coefs[ci][bi]
+            k = ss
+            while k <= se:
+                rs = _read_symbol(br, s_acs[ta])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise NotImplementedError("JPEG AC band overflow")
+                blk[_ZIGZAG[k]] = _extend(br.bits(s), s) << al
+                k += 1
+
+        def ac_refine(ci, ta, bi):
+            # T.81 G.1.2.3 successive-approximation refinement — the
+            # jdphuff decode_mcu_AC_refine structure
+            nonlocal eobrun
+            blk = coefs[ci][bi]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(br, s_acs[ta])
+                    r, s = rs >> 4, rs & 0xF
+                    sval = 0
+                    if s:
+                        sval = p1 if br.bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        if blk[z] != 0:
+                            if br.bits(1) and (int(blk[z]) & p1) == 0:
+                                blk[z] += p1 if blk[z] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if sval and k <= se:
+                        blk[_ZIGZAG[k]] = sval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if blk[z] != 0:
+                        if br.bits(1) and (int(blk[z]) & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        def unit(ci, td, ta, bi):
+            if ss == 0:
+                if ah == 0:
+                    dc_first(ci, td, bi)
+                else:
+                    dc_refine(ci, bi)
+            else:
+                if ah == 0:
+                    ac_first(ci, ta, bi)
+                else:
+                    ac_refine(ci, ta, bi)
+
+        n_unit = 0
+        if len(sc) > 1:
+            if ss != 0:
+                raise NotImplementedError("interleaved AC scan in progressive")
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if s_dri and n_unit and n_unit % s_dri == 0:
+                        br.restart()
+                        pred = {c: 0 for c in pred}
+                        eobrun = 0
+                    for ci, td, ta in sc:
+                        _cid, hh, v, _tq = comps[ci]
+                        for by in range(v):
+                            for bx in range(hh):
+                                bi = (my * v + by) * grid_w[ci] + mx * hh + bx
+                                unit(ci, td, ta, bi)
+                    n_unit += 1
+        else:
+            ci, td, ta = sc[0]
+            for by in range(comp_bh[ci]):
+                for bx in range(comp_bw[ci]):
+                    if s_dri and n_unit and n_unit % s_dri == 0:
+                        br.restart()
+                        pred = {c: 0 for c in pred}
+                        eobrun = 0
+                    unit(ci, td, ta, by * grid_w[ci] + bx)
+                    n_unit += 1
+
+    mt = _DCT_M.T
+    planes = []
+    for ci, (_cid, hh, v, tq) in enumerate(comps):
+        gw = grid_w[ci]
+        gh = mcuy * v
+        plane = np.zeros((gh * 8, gw * 8))
+        q = qts[tq]
+        for by in range(gh):
+            for bx in range(gw):
+                blk = coefs[ci][by * gw + bx].astype(np.float64).reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    mt @ blk @ _DCT_M + 128.0
+                )
+        planes.append(plane)
+    return _jpeg_pixels(planes, comps, hmax, vmax, h, w)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -1066,12 +1592,16 @@ def synth_media(
                 img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 # rotate containers so the corpus exercises all three
                 # real image codecs, every PNG reconstruction branch,
-                # and both JPEG MCU geometries
+                # both JPEG MCU geometries, and the progressive path
                 which = (i // 3) % 3
                 if which == 0:
                     raw = encode_bmp(img)
                 elif which == 1:
                     raw = encode_png(img, filter_type=(i // 9) % 5)
+                elif (i // 9) % 3 == 2:
+                    raw = encode_jpeg_progressive(
+                        img, subsample="420" if (i // 27) % 2 else "444"
+                    )
                 else:
                     raw = encode_jpeg(
                         img, subsample="420" if (i // 9) % 2 else "444"

@@ -582,7 +582,8 @@ def test_jpeg_roundtrip_all_geometries():
     # decode is deterministic (featurize parity depends on this)
     raw = M.encode_jpeg(img, quality=85, subsample="420")
     assert np.array_equal(M.decode_jpeg(raw), M.decode_jpeg(raw))
-    # progressive (SOF2) raises; fake=True stands in
+    # a baseline stream MISLABELED as SOF2 is a malformed progressive
+    # file (full-band interleaved scan) — raises; fake=True stands in
     prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         M.decode_image(prog)
@@ -590,6 +591,35 @@ def test_jpeg_roundtrip_all_geometries():
     # truncated entropy data raises cleanly
     with pytest.raises(NotImplementedError):
         M.decode_jpeg(raw[: len(raw) // 2])
+
+
+def test_progressive_jpeg_decode_matches_baseline():
+    """encode_jpeg_progressive (SOF2: DC successive approximation,
+    spectral AC bands at Al=1, G.1.2.3 refinement scans, EOB runs)
+    must decode to EXACTLY the pixels of the baseline encoding of
+    the same image at the same quality — the quantized coefficients
+    are identical by construction, so the progressive scan chain is
+    pinned bit-for-bit, for both MCU geometries and odd sizes."""
+    rng = np.random.default_rng(5)
+    for (h, w, sub) in [
+        (16, 16, "444"),
+        (17, 23, "420"),
+        (8, 8, "444"),
+        (33, 14, "420"),
+        (24, 40, "444"),
+    ]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = M.decode_jpeg(M.encode_jpeg(img, quality=85, subsample=sub))
+        prog = M.decode_image(
+            M.encode_jpeg_progressive(img, quality=85, subsample=sub)
+        )
+        assert np.array_equal(base, prog), (h, w, sub)
+    # truncated progressive stream raises cleanly
+    raw = M.encode_jpeg_progressive(
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_image(raw[:40])
 
 
 def test_featurize_real_includes_jpeg(spark):
@@ -608,6 +638,16 @@ def test_featurize_real_includes_jpeg(spark):
     exp = M.image_features(M.decode_image(local[jpg_ids[0]][0]), 16)
     # features cross Arrow as float32 — compare at float32 precision
     assert np.allclose(row["features"], exp, atol=1e-5)
+    # the rotation includes PROGRESSIVE (SOF2) jpegs; they decode on
+    # executors and match the local decode too
+    prog_ids = [
+        i for i, (b, m) in local.items()
+        if m == "image/jpeg" and b"\xff\xc2" in b
+    ]
+    assert prog_ids, "rotation must include progressive JPEGs"
+    prow = next(r for r in rows if r["media_id"] == prog_ids[0])
+    pexp = M.image_features(M.decode_image(local[prog_ids[0]][0]), 16)
+    assert np.allclose(prow["features"], pexp, atol=1e-5)
 
 
 def test_repetition_metrics(spark):
