@@ -1737,3 +1737,89 @@ def featurize_frames(
             )
 
     return src.mapInPandas(gen, out_schema)
+
+
+def keyframes(
+    media: DataFrame,
+    threshold: float = 0.08,
+    dim: int = 16,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """(media_id, frame_idx, n_frames, diff, features): keyframe
+    selection by frame difference — the shot-boundary sampling a
+    video training pipeline runs before featurizing (adjacent frames
+    are near-duplicates; keeping only frames whose mean absolute
+    pixel delta vs the LAST KEPT frame exceeds ``threshold`` of full
+    scale removes the intra-shot redundancy).
+
+    Frame 0 is always kept (diff = 1.0 sentinel).  Decode runs
+    inside ONE mapInPandas crossing per video (the concatenated-BMP
+    payload self-describes frame offsets, so selection streams
+    frame-by-frame without materializing the whole clip), and only
+    the KEPT frames are featurized.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = media.select(id_col, media_col)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("diff", DoubleType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+    thr = float(threshold)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, diffs, feats = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(raw)
+                offs = frame_offsets(raw)
+                last = None
+                for fi in range(len(offs)):
+                    img = decode_frame(raw, fi)
+                    if last is None:
+                        d = 1.0
+                    else:
+                        if img.shape != last.shape:
+                            d = 1.0  # resolution change = hard cut
+                        else:
+                            d = float(
+                                np.abs(
+                                    img.astype(np.float64)
+                                    - last.astype(np.float64)
+                                ).mean()
+                                / 255.0
+                            )
+                    if d >= thr:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        totals.append(len(offs))
+                        diffs.append(d)
+                        feats.append(image_features(img, dim))
+                        last = img
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "diff": diffs,
+                    "features": feats,
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)

@@ -650,6 +650,44 @@ def test_featurize_real_includes_jpeg(spark):
     assert np.allclose(prow["features"], pexp, atol=1e-5)
 
 
+def test_keyframes_selection(spark):
+    """keyframes == a local replay: frame 0 always kept; a frame is
+    kept iff its mean abs delta vs the LAST KEPT frame crosses the
+    threshold; static clips keep only frame 0; every-frame-different
+    clips keep all; features come from the kept frames' pixels."""
+    import pandas as pd
+
+    # clip A: 4 identical frames -> keep only frame 0
+    a = [np.full((8, 8, 3), 100, dtype=np.uint8)] * 4
+    # clip B: alternating black/white -> keep every frame
+    b = [
+        np.full((8, 8, 3), 0 if i % 2 else 255, dtype=np.uint8)
+        for i in range(4)
+    ]
+    # clip C: slow drift below threshold after frame 0
+    c = [np.full((8, 8, 3), 100 + i, dtype=np.uint8) for i in range(4)]
+    rows = [
+        (0, bytearray(M.encode_frames(a))),
+        (1, bytearray(M.encode_frames(b))),
+        (2, bytearray(M.encode_frames(c))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = M.keyframes(df, threshold=0.08, dim=8).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_id[0], key=lambda r: r["frame_idx"])] == [0]
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert [r["frame_idx"] for r in sorted(by_id[2], key=lambda r: r["frame_idx"])] == [0]
+    assert all(r["n_frames"] == 4 for r in got)
+    # kept-frame features match a local decode
+    r0 = by_id[1][1]
+    exp = M.image_features(b[r0["frame_idx"]], 8)
+    assert np.allclose(r0["features"], exp, atol=1e-5)
+    # diff sentinel on frame 0
+    assert all(r["diff"] == 1.0 for r in got if r["frame_idx"] == 0)
+
+
 def test_repetition_metrics(spark):
     """Gopher repetition signals on handcrafted docs: the repeated
     phrase dominates top_ngram_char_frac; an all-unique doc scores
