@@ -190,3 +190,80 @@ def pagerank(
     ew.unpersist()
     nodes.unpersist()
     return rank
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """(node, hub, authority) after ``n_iter`` HITS iterations
+    (Kleinberg 1999, JACM 46(5)): a ← Σ_{u→v} h(u), h ← Σ_{u→v} a(v),
+    each half-step L1-normalized (Σ = 1) — the hubs-and-authorities
+    companion to pagerank() for link-graph curation (seed-list
+    discovery, spam-hub demotion).
+
+    Same per-iteration shape as pagerank: ONE shuffle join state⋈edges
+    + ONE partial-agg groupBy per half-step, plus a one-row total for
+    the normalization; the deduped edge list is cached once.  Start
+    state h = 1/N.  Nodes with no in-edges get authority 0 (and hubs
+    pointing nowhere get hub 0) — the node universe never shrinks.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .cache()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    h = nodes.select("node", F.lit(1.0 / n).alias("h")).cache()
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        tot_a = a_raw.agg(F.coalesce(F.sum("s"), F.lit(0.0)).alias("t")).first()["t"]
+        nxt_a = (
+            nodes.join(a_raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(tot_a or 1.0)).alias("a"),
+            )
+            .cache()
+        )
+        nxt_a.count()
+        if a is not None:
+            a.unpersist()
+        a = nxt_a
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("s"))
+        )
+        tot_h = h_raw.agg(F.coalesce(F.sum("s"), F.lit(0.0)).alias("t")).first()["t"]
+        nxt_h = (
+            nodes.join(h_raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(tot_h or 1.0)).alias("h"),
+            )
+            .cache()
+        )
+        nxt_h.count()
+        h.unpersist()
+        h = nxt_h
+    out = h.join(a, "node").select(
+        "node", "h", F.col("a").alias("authority")
+    ).withColumnRenamed("h", "hub")
+    e.unpersist()
+    nodes.unpersist()
+    return out

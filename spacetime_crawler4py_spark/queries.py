@@ -2697,6 +2697,41 @@ def pack_shard_stats(spark, sf_dir):
 # =====================================================================
 
 
+@_q("graph_hits_top20", None)  # oracle attached in _finalize (unrolled HITS)
+def graph_hits_top20(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py hits) over the same
+    deterministic hash-derived link graph as the PageRank row; all 5
+    L1-normalized iterations replay as an unrolled CTE chain, so the
+    hash match certifies the iterative join/agg/normalize loop."""
+    from spacetime_crawler4py_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+        )
+        .select(
+            "src",
+            F.pmod(
+                F.col("src") * 37 + F.col("k") * 1009 + 7, F.lit(n)
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    out = hits(e, n_iter=5)
+    return (
+        out.select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(20)
+    )
+
+
 @_q("graph_pagerank_top20", None)  # oracle attached in _finalize (unrolled power iteration)
 def graph_pagerank_top20(spark, sf_dir):
     """PageRank over a deterministic hash-derived link graph (each
@@ -2780,6 +2815,53 @@ def _finalize() -> None:
     SELECT node, rank FROM (
       SELECT node, ROUND(rank, 6) AS rank FROM r5
     ) ORDER BY rank DESC, node LIMIT 20
+    """
+
+    # ---- HITS: hubs and authorities unrolled the same way; each
+    # half-step L1-normalizes (matching the Spark loop's one-row
+    # total divide — all MATERIALIZED so the planner evaluates each
+    # iteration once)
+    hits_iters = []
+    for i in range(1, 6):
+        p = i - 1
+        hits_iters.append(
+            f"""ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(hh.h) AS s
+      FROM e JOIN h{p} hh ON e.src = hh.node GROUP BY e.dst
+    ), a{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             COALESCE(ar.s, 0.0::DOUBLE)
+               / (SELECT COALESCE(SUM(s), 1.0::DOUBLE) FROM ar{i}) AS a
+      FROM nodes LEFT JOIN ar{i} ar USING (node)
+    ), hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, SUM(aa.a) AS s
+      FROM e JOIN a{i} aa ON e.dst = aa.node GROUP BY e.src
+    ), h{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             COALESCE(hr.s, 0.0::DOUBLE)
+               / (SELECT COALESCE(SUM(s), 1.0::DOUBLE) FROM hr{i}) AS h
+      FROM nodes LEFT JOIN hr{i} hr USING (node)
+    )"""
+        )
+    ORACLES["graph_hits_top20"] = f"""
+    WITH nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 37 + k * 1009 + 7) % (SELECT COUNT(*) FROM documents)
+                 AS dst
+        FROM documents, (SELECT unnest([1, 2, 3, 4]) AS k)
+      ) WHERE src <> dst
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (
+      SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS h FROM nodes
+    ),
+    {", ".join(hits_iters)}
+    SELECT node, hub, authority FROM (
+      SELECT h5.node, ROUND(h5.h, 6) AS hub, ROUND(a5.a, 6) AS authority
+      FROM h5 JOIN a5 USING (node)
+    ) ORDER BY authority DESC, node LIMIT 20
     """
     from spacetime_crawler4py_spark.functions.text_quality import LANG_MARKERS
 

@@ -1087,6 +1087,51 @@ def test_pagerank_vs_numpy_dense(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
 
 
+def test_hits_vs_numpy_dense(spark):
+    """hits() must match a dense numpy replay (a ← A'h, h ← Aa, L1
+    normalized each half-step) to float precision, on the same hubby
+    digraph shape the pagerank test uses; both score vectors sum to
+    1 and no-in-edge nodes get authority 0."""
+    import numpy as np
+
+    from spacetime_crawler4py_spark.operators.graph import hits
+
+    rng = np.random.RandomState(9)
+    n = 30
+    edges = {(int(rng.randint(n)), int(rng.randint(n))) for _ in range(120)}
+    edges |= {(i, 0) for i in range(1, 12)}
+    edges.add((3, 3))
+    edges = {(u, v) for u, v in edges if u != v or u == 3}
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=5).collect()
+    }
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    A = np.zeros((N, N))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(N, 1.0 / N)
+    a = None
+    for _ in range(5):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    assert set(got) == set(nodes)
+    assert abs(sum(x for _, x in got.values()) - 1.0) < 1e-9
+    assert abs(sum(x for x, _ in got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9, v
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9, v
+    no_in = [v for v in nodes if not any(d == v for _, d in edges)]
+    for v in no_in:
+        assert got[v][1] == 0.0
+
+
 def test_hash_linear_score_paths_agree(spark):
     """The no-shuffle hash path and the weights-table join path must
     produce the same scores when the table holds the same hash
