@@ -27,8 +27,12 @@ Every operator here follows the same scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # Mersenne prime 2^31-1: universal-hash modulus.  Chosen so a*h+b
 # with a,h < p stays under 2^62 — no long overflow under Spark's
@@ -93,6 +97,35 @@ def shingle_key60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def ngram_hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 1000,
+    shingle_key: str = "hash60",
+) -> DataFrame:
+    """Audit twin of ngram_jaccard_pairs' hot-shingle guard: the
+    (s, df) rows the pair join DROPS under ``max_df`` (document
+    frequency > max_df).  One agg — run it alongside a capped pair
+    job to account for every shingle the cap silenced (the repo's
+    no-silent-caps rule)."""
+    key = (
+        shingle_key60(F.col("s")).alias("s")
+        if shingle_key == "hash60"
+        else F.col("s")
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("id", key)
+    return (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -100,6 +133,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     shingle_key: str = "hash60",  # "hash60" | "string"
+    max_df: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-Jaccard ≥ t.
 
@@ -112,7 +146,11 @@ def ngram_jaccard_pairs(
     are the skew risk, so pair generation drops shingles occurring
     in more than ``max_df`` docs (ubiquitous shingles can't push a
     pair over a high threshold alone but quadratically blow up the
-    join).
+    join).  The cap is NOT silent: it is a parameter, the active
+    value is logged, and ``ngram_hot_shingles(...)`` returns exactly
+    the (s, df) rows it dropped for audit; per-doc shingle SIZES are
+    computed before the cap, so Jaccard denominators are unaffected
+    — only candidate generation through hot shingles is.
     """
     from spacetime_crawler4py_spark.operators.ids import (
         ensure_min_partitions,
@@ -136,7 +174,10 @@ def ngram_jaccard_pairs(
         .select("id", key)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    max_df = 1000
+    log.info(
+        "ngram_jaccard_pairs: hot-shingle cap max_df=%d active "
+        "(audit dropped shingles via ngram_hot_shingles)", max_df,
+    )
     rare = sh.join(
         sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
         "s",
@@ -163,9 +204,9 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.8,
+    n: int = 3, threshold: float = 0.8, max_df: int = 1000,
 ) -> DataFrame:
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold, max_df=max_df)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 

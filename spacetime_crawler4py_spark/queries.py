@@ -887,10 +887,10 @@ def tq_quality(spark, sf_dir):
              SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cm
       FROM hist
     ), tot AS (
-      SELECT lang, SUM(c) AS n FROM hist GROUP BY lang
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY lang
     )
     SELECT cum.lang,
-           MAX(n) AS n,
+           CAST(MAX(n) AS BIGINT) AS n,
            MIN(CASE WHEN cm >= CEIL(0.5 * n) THEN n_chars END) AS q50,
            MIN(CASE WHEN cm >= CEIL(0.9 * n) THEN n_chars END) AS q90,
            MIN(CASE WHEN cm >= CEIL(0.99 * n) THEN n_chars END) AS q99

@@ -22,8 +22,21 @@ TABLES = [
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6g}"
+    # Type-surfaced normalization: an integral float ("1000.0") must NOT
+    # collapse into an int ("1000") — the driver's gate hashes the raw
+    # string surface, so DuckDB HUGEINT->pandas-float64 leaks (e.g. an
+    # uncast SUM(BIGINT) output) have to fail HERE, not only at the
+    # driver.  bool checked first (bool is Integral).
+    import numbers
+
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, numbers.Integral):
+        return f"int:{v}"
+    if isinstance(v, numbers.Real):
+        return f"float:{float(v):.6g}"
     return str(v)
 
 
