@@ -336,21 +336,60 @@ def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None, who: str) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before a pair
+    join.  The count window partitions by the SAME (band, bkey) key
+    the join shuffles on, so the exchange is reused — the cap costs
+    no extra shuffle.  Not silent: the active cap is logged and
+    ``minhash_hot_buckets(...)`` returns the dropped buckets."""
+    if max_bucket is None:
+        return banded
+    log.info(
+        "%s: hot-bucket cap max_bucket=%d active "
+        "(audit dropped buckets via minhash_hot_buckets)", who, max_bucket,
+    )
+    w = Window.partitionBy("band", "bkey")
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def minhash_hot_buckets(
+    sigs: DataFrame, bands: int = 16, rows: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Audit twin of the pair APIs' ``max_bucket`` guard: the
+    (band, bkey, size) buckets the all-pairs join DROPS.  One agg."""
+    return (
+        _banded(sigs, bands, rows)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") > max_bucket)
+    )
+
+
 def minhash_cross_pairs(
     sigs_a: DataFrame,
     sigs_b: DataFrame,
     bands: int = 16,
     rows: int = 4,
     threshold: float = 0.7,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """(id_a ∈ sigs_a, id_b ∈ sigs_b, est_jaccard) — the TWO-TABLE
     banded join (streaming/incremental dedup: history vs new batch).
     Same estimator as minhash_lsh_pairs; no id ordering constraint
-    across the two sides."""
-    a = _banded(sigs_a, bands, rows).select(
+    across the two sides.  Each side's buckets are capped at
+    ``max_bucket`` (the cross blow-up is |a_bucket|·|b_bucket|)."""
+    a = _cap_buckets(
+        _banded(sigs_a, bands, rows), max_bucket, "minhash_cross_pairs"
+    ).select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
     )
-    b = _banded(sigs_b, bands, rows).select(
+    b = _cap_buckets(
+        _banded(sigs_b, bands, rows), max_bucket, "minhash_cross_pairs"
+    ).select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
     )
     cand = (
@@ -371,15 +410,29 @@ def minhash_cross_pairs(
 
 
 def minhash_lsh_pairs(
-    sigs: DataFrame, bands: int = 16, rows: int = 4, threshold: float = 0.7
+    sigs: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """(id_a, id_b, est_jaccard): LSH band join + signature check.
+    """(id_a, id_b, est_jaccard): LSH band join + signature check —
+    the ALL-PAIRS listing API.
 
     est_jaccard = fraction of matching minhash components (unbiased
     Jaccard estimator); band key is a hash of each ``rows``-slice of
     the signature, so the self-join shuffles a bounded key.
+
+    All-pairs within a bucket is inherently O(c²): a c-member
+    boilerplate mega-cluster (the #1 web-corpus skew pathology —
+    every member shares EVERY band key) would emit ~c²/2 candidates
+    per band.  ``max_bucket`` bounds that: buckets larger than the
+    cap contribute no pairs (logged; audit the dropped buckets via
+    ``minhash_hot_buckets``).  For the DEDUP consumer, which only
+    needs connectivity, use ``minhash_star_edges`` instead — O(c)
+    edges per bucket, no cap needed.
     """
-    banded = _banded(sigs, bands, rows)
+    banded = _cap_buckets(_banded(sigs, bands, rows), max_bucket, "minhash_lsh_pairs")
 
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
@@ -391,6 +444,63 @@ def minhash_lsh_pairs(
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_star_edges(
+    sigs: DataFrame, bands: int = 16, rows: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) STAR edges: within each (band, bkey)
+    bucket, each member is compared only to the bucket-MIN id —
+    O(c) edges per bucket instead of the all-pairs O(c²), so a
+    boilerplate mega-cluster (every member sharing every band key)
+    costs c·bands edge candidates instead of c²/2 per band.  No cap
+    is needed; nothing is dropped.
+
+    Edge semantics vs minhash_lsh_pairs: the signature-agreement
+    threshold is still verified per edge, so a bucket member whose
+    est-Jaccard to the bucket min is below t contributes no edge even
+    if it is ≥t-similar to some OTHER bucket member — star trades
+    that heterogeneous-bucket recall (each minhash band is ~rows/64
+    of the signature; genuinely similar pairs co-occur in many
+    buckets and get many chances) for the c² → c candidate bound.
+    On the pathology the bound exists for — near-identical
+    boilerplate, where every member matches the min — components are
+    identical to all-pairs.  id_a < id_b always (the min is minimal
+    in its bucket).
+    """
+    banded = _banded(sigs, bands, rows)
+    w = Window.partitionBy("band", "bkey")
+    # min over struct(id, sig): ids are distinct within a bucket, so
+    # ordering never reaches the array field — this is argmin-by-id
+    # carrying the min's signature, in the same (band, bkey) window
+    # shuffle the bucket grouping needs anyway.
+    m = F.min(F.struct(F.col("id"), F.col("sig"))).over(w)
+    cand = (
+        banded.select(
+            "id",
+            "sig",
+            m.getField("id").alias("id_a"),
+            m.getField("sig").alias("sig_a"),
+        )
+        .where(F.col("id") != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            "sig_a",
+            F.col("sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(
@@ -417,9 +527,19 @@ def minhash_dedup(
     seed: int = 42,
     base_hash: str = "md5",
     mode: str = "min_edge",
+    pair_mode: str = "star",
 ) -> DataFrame:
+    """MinHash near-dup dedup.  ``pair_mode='star'`` (default) feeds
+    the representative selection with bucket-star edges — the
+    scale-safe O(c)-per-bucket shape (see minhash_star_edges);
+    ``'all_pairs'`` uses the capped all-pairs listing."""
     sigs = minhash_signatures(df, text_col, id_col, n, k, seed, base_hash)
-    pairs = minhash_lsh_pairs(sigs, bands, rows, threshold)
+    if pair_mode == "star":
+        pairs = minhash_star_edges(sigs, bands, rows, threshold)
+    elif pair_mode == "all_pairs":
+        pairs = minhash_lsh_pairs(sigs, bands, rows, threshold)
+    else:
+        raise ValueError(f"unknown pair_mode {pair_mode!r}: use 'star' or 'all_pairs'")
     return dedup_representatives(df, pairs, id_col, mode)
 
 

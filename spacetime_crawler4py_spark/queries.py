@@ -973,8 +973,13 @@ def dedup_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@_q("dedup_minhash_kept", None)  # xxhash64 not reproducible in DuckDB
+@_q("dedup_minhash_kept", None)  # oracle attached in _finalize
 def dedup_minhash(spark, sf_dir):
+    """MinHash dedup in the scale-safe bucket-STAR shape (VERDICT r4
+    #2): per-(band,bkey) edges to the bucket-min id only — O(c) per
+    bucket where the all-pairs listing is O(c²) under boilerplate
+    mega-cluster skew.  The oracle mirrors star semantics exactly
+    (arg_min per bucket)."""
     from spacetime_crawler4py_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -2080,21 +2085,23 @@ def semdedup_kept(spark, sf_dir):
 
 @_q("dedup_minhash_cc", None)  # oracle attached in _finalize (recursive CTE)
 def dedup_minhash_cc(spark, sf_dir):
-    """Connected components over the minhash near-dup pair graph
-    (operators/graph.py large-star/small-star) — hard-verified
-    against a DuckDB WITH RECURSIVE transitive-closure twin.  The
-    iterative Spark algorithm and the recursive SQL compute the same
-    (node, component-min) fixpoint by completely different routes,
-    so a hash match certifies the distributed CC itself."""
+    """Connected components over the minhash near-dup STAR-edge
+    graph (operators/graph.py large-star/small-star over
+    minhash_star_edges — the scale-safe O(c)-per-bucket edge set) —
+    hard-verified against a DuckDB WITH RECURSIVE transitive-closure
+    twin over the same star edges.  The iterative Spark algorithm
+    and the recursive SQL compute the same (node, component-min)
+    fixpoint by completely different routes, so a hash match
+    certifies the distributed CC itself."""
     from spacetime_crawler4py_spark.operators.dedup import (
-        minhash_lsh_pairs,
         minhash_signatures,
+        minhash_star_edges,
     )
     from spacetime_crawler4py_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "text", "doc_id", n=3, k=64, seed=42)
-    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5)
+    pairs = minhash_star_edges(sigs, bands=16, rows=4, threshold=0.5)
     return connected_components(pairs, "id_a", "id_b")
 
 
@@ -3070,6 +3077,9 @@ def _finalize() -> None:
         "concat_ws(',', " + ", ".join(f"m{bi * 4 + ri}" for ri in range(4)) + ")"
         for bi in range(16)
     ) + "]"
+    # star semantics (operators/dedup.py minhash_star_edges): each
+    # bucket member pairs with the bucket-MIN id only — arg_min per
+    # (band, bkey) is the SQL twin of Spark's min-struct window
     ORACLES["dedup_minhash_kept"] = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
@@ -3085,10 +3095,13 @@ def _finalize() -> None:
       SELECT doc_id, {sig_list} AS sig,
              unnest({band_ids}) AS band, unnest({band_keys}) AS bkey
       FROM sig_t
+    ), bmin AS (
+      SELECT band, bkey, MIN(doc_id) AS id_a, arg_min(sig, doc_id) AS sa
+      FROM banded GROUP BY band, bkey
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      SELECT DISTINCT m.id_a, b.doc_id AS id_b, m.sa, b.sig AS sb
+      FROM banded b JOIN bmin m
+        ON b.band = m.band AND b.bkey = m.bkey AND b.doc_id > m.id_a
     ), dropped AS (
       SELECT DISTINCT id_b FROM cand
       WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
@@ -3115,10 +3128,13 @@ def _finalize() -> None:
       SELECT doc_id, {sig_list} AS sig,
              unnest({band_ids}) AS band, unnest({band_keys}) AS bkey
       FROM sig_t
+    ), bmin AS (
+      SELECT band, bkey, MIN(doc_id) AS id_a, arg_min(sig, doc_id) AS sa
+      FROM banded GROUP BY band, bkey
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      SELECT DISTINCT m.id_a, b.doc_id AS id_b, m.sa, b.sig AS sb
+      FROM banded b JOIN bmin m
+        ON b.band = m.band AND b.bkey = m.bkey AND b.doc_id > m.id_a
     ), edges0 AS (
       SELECT id_a AS a, id_b AS b FROM cand
       WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5

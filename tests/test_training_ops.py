@@ -1317,3 +1317,72 @@ def test_domain_rollup_and_blocklist(spark):
         ).collect()
     )
     assert kept == [0, 1, 2, 5, 6]
+
+
+def test_minhash_star_edges_bound_mega_cluster(spark):
+    """VERDICT r4 #2: a degenerate all-duplicates cluster (every doc
+    shares every band key) must produce O(c) star edges, not the
+    all-pairs O(c²) — and the dedup result must keep exactly the
+    min-id representative."""
+    c = 40
+    base = " ".join(f"tok{i:03d}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, base) for i in range(c)] + [(c, "completely different text here")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df, k=64)
+    star = D.minhash_star_edges(sigs, bands=16, rows=4, threshold=0.5).collect()
+    # exactly one edge per non-min member: (0, x) for x in 1..c-1
+    assert len(star) == c - 1
+    assert {(r["id_a"], r["id_b"]) for r in star} == {(0, x) for x in range(1, c)}
+    assert all(r["est_jaccard"] == 1.0 for r in star)
+    kept = sorted(
+        r["doc_id"] for r in D.minhash_dedup(df, threshold=0.5).collect()
+    )
+    assert kept == [0, c]
+
+
+def test_minhash_all_pairs_bucket_cap_and_audit(spark):
+    """max_bucket drops over-cap buckets from the all-pairs listing
+    (bounded candidate count), and minhash_hot_buckets accounts for
+    every dropped bucket — the no-silent-caps rule."""
+    c = 12
+    base = " ".join(f"tok{i:03d}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, base) for i in range(c)]
+        + [(100, "an unrelated pair of documents one"),
+           (101, "an unrelated pair of documents one")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df, k=64)
+    # uncapped: the mega-cluster contributes c*(c-1)/2 pairs
+    full = D.minhash_lsh_pairs(sigs, threshold=0.5, max_bucket=None).collect()
+    assert len(full) == c * (c - 1) // 2 + 1
+    # capped below c: the mega-cluster's buckets are dropped entirely;
+    # the small pair survives
+    capped = D.minhash_lsh_pairs(sigs, threshold=0.5, max_bucket=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    hot = D.minhash_hot_buckets(sigs, max_bucket=5).collect()
+    assert len(hot) == 16 and all(r["size"] == c for r in hot)
+    # cap at exactly c keeps everything (boundary is inclusive)
+    at_c = D.minhash_lsh_pairs(sigs, threshold=0.5, max_bucket=c).collect()
+    assert len(at_c) == len(full)
+
+
+def test_ngram_max_df_param_and_audit(spark):
+    """max_df is a real parameter with drop accounting: a shingle in
+    more docs than max_df generates no candidate pairs, and
+    ngram_hot_shingles returns exactly the dropped shingles."""
+    shared = "alpha beta gamma"  # one shingle, in every doc
+    df = spark.createDataFrame(
+        [(i, f"{shared} unique{i} filler{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # every doc's shingle set intersects only via the shared shingle
+    loose = D.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).collect()
+    assert len(loose) == 15  # all C(6,2) pairs share 1 of 3 shingles
+    tight = D.ngram_jaccard_pairs(df, threshold=0.01, max_df=5).collect()
+    assert tight == []  # the only connecting shingle is hot → dropped
+    hot = D.ngram_hot_shingles(df, max_df=5).collect()
+    assert len(hot) == 1 and hot[0]["df"] == 6
+    assert D.ngram_hot_shingles(df, max_df=6).collect() == []
