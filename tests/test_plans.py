@@ -408,6 +408,11 @@ def test_ivf_pq_composed_plan_is_equi_joins_top_k(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # cid rides through pq_encode (carry_cols), so the composed plan
+    # has NO wide join at all — the codes⋈resid SortMergeJoin on the
+    # id that used to recover cid (VERDICT r4 #3) must stay gone
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     # the literal sub-paths produce the identical rows (one oracle
     # gates both at the catalog level; pin the agreement here too)
     lit = ivf_pq_topk(
