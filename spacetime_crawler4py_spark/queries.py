@@ -2035,6 +2035,39 @@ def ann_ivf_pq(spark, sf_dir):
     )
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+@_q("ann_ivf_pq_index_top10", None)  # oracle attached in _finalize
+def ann_ivf_pq_index(spark, sf_dir):
+    """IVFADC served from a WRITTEN index (operators/similarity.py
+    build_ivf_pq_index / ivf_pq_index_topk): the code table persisted
+    as cid-partitioned parquet inverted lists + a JSON metadata row,
+    then the query answered by a partition-PRUNED scan of only the
+    nprobe probed cells.  Same deterministic fit contract and the
+    same DuckDB twin as ann_ivf_pq_top10 — a hash match certifies
+    that serving from disk reproduces the in-memory composed pipeline
+    bit-for-bit, THROUGH the write/read roundtrip."""
+    import tempfile
+
+    from spacetime_crawler4py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        build_ivf_pq_index(
+            e, path, dim=len(q), n_centroids=8, n_iter=2, m=4, ksub=16,
+            assign="literal", method="join",
+        )
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return ivf_pq_index_topk(spark, path, q, k=10, nprobe=2)
+
+
 @_q("ann_ivf_kpp_top10", None)  # oracle attached in _finalize (k-means||)
 def ann_ivf_kpp(spark, sf_dir):
     """IVF over a k-means||-seeded quantizer (operators/similarity.py
@@ -3406,6 +3439,9 @@ def _finalize() -> None:
     """
 
     ORACLES["ann_ivf_pq_top10"] = _ivfpq_oracle(k=8, nprobe=2, m=4, ksub=16)
+    # the written-index row serves the SAME query from disk — one
+    # twin gates both (the roundtrip must be value-preserving)
+    ORACLES["ann_ivf_pq_index_top10"] = ORACLES["ann_ivf_pq_top10"]
 
     # ---- k-means||-seeded IVF: the seeding replayed end-to-end —
     # hash-unit draws vs an exact integer potential (Σ of rounded

@@ -128,13 +128,46 @@ def main() -> None:
         ),
     )
     audit(
-        "IVFADC composed (coarse probe → residual ADC)",
-        "Wants: assign/encode all broadcast equi-joins; the probe "
+        "IVFADC composed (coarse probe → residual ADC, join path)",
+        "Wants: assign/encode all broadcast equi-joins (m·ksub=64 ≥ "
+        "the auto cutover, so the codebooks ride broadcast TABLES — "
+        "no literal arrays in any Project); cid threads through the "
+        "encode (carry_cols), so NO SortMergeJoin anywhere; the probe "
         "filter IS the per-cell distance-table join on cid (unprobed "
-        "cells have no table row — partition pruning at deployment); "
-        "no vector math in the scan, top-k TakeOrderedAndProject.",
+        "cells have no table row); no vector math in the scan, top-k "
+        "TakeOrderedAndProject.",
+        ivf_pq_topk(emb, [0.05] * 64, k=10, n_centroids=4, nprobe=2,
+                    m=4, ksub=16, assign="join", method="join"),
+    )
+    audit(
+        "IVFADC composed (toy literal variant, m·ksub below cutover)",
+        "Labeled variant: at m·ksub=32 < 64 the auto paths inline the "
+        "codebooks as plan literals (cheaper below the cutover — no "
+        "broadcast exchange at all); same rows as the join path.",
         ivf_pq_topk(emb, [0.05] * 64, k=10, n_centroids=4, nprobe=2,
                     m=4, ksub=8),
+    )
+
+    import tempfile as _tf
+
+    from spacetime_crawler4py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    _idx = _tf.mkdtemp(prefix="audit_ivfpq_")
+    build_ivf_pq_index(
+        emb, _idx, dim=64, n_centroids=8, n_iter=1, m=4, ksub=16,
+        assign="join", method="join",
+    )
+    audit(
+        "IVFADC served from the WRITTEN index (partition-pruned scan)",
+        "Wants: the codes scan reads ONLY the probed cells — "
+        "PartitionFilters carries the cid IN-list over the "
+        "cid-partitioned inverted lists (nprobe/n_centroids of the "
+        "corpus touched); ranking the same broadcast ADC join; no "
+        "wide join.",
+        ivf_pq_index_topk(spark, _idx, [0.05] * 64, k=10, nprobe=2),
     )
     audit(
         "corpus flagship (domain gate → quality → dedup → split)",
