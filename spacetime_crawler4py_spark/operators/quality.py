@@ -369,6 +369,56 @@ def hash_linear_score(
     )
 
 
+def load_linear_weights(
+    spark, path: str, fmt: str = "auto"
+) -> tuple[DataFrame, float]:
+    """Load a trained linear-model vocabulary from disk for
+    ``hash_linear_score(weights=...)`` — the drop-in point for a real
+    fasttext-style classifier (the hash-derived defaults stay the
+    sandbox/oracle path).  Returns ``(weights_df, bias)`` where
+    ``weights_df`` has columns (word string, w double).
+
+    Two formats:
+
+    - ``parquet``: columns (word, w) as written by any Spark job.
+    - ``text``: fasttext-dump style — one ``word<ws>weight`` pair per
+      line, whitespace-separated; blank lines and ``#`` comments
+      skipped; an optional ``__bias__ <float>`` row supplies the
+      intercept.  Parsed distributed (spark.read.text + JVM split),
+      so a multi-million-row vocabulary never lands on the driver.
+
+    ``fmt="auto"`` picks parquet when the path names a ``.parquet``
+    file/directory, text otherwise.
+    """
+    if fmt == "auto":
+        fmt = "parquet" if path.rstrip("/").endswith(".parquet") else "text"
+    if fmt == "parquet":
+        w = spark.read.parquet(path).select(
+            F.col("word").cast("string").alias("word"),
+            F.col("w").cast("double").alias("w"),
+        )
+    elif fmt == "text":
+        w = (
+            spark.read.text(path)
+            .select(
+                F.trim(
+                    F.regexp_replace(F.col("value"), r"#.*$", "")
+                ).alias("v")
+            )
+            .where(F.length("v") > 0)
+            .select(F.split("v", r"\s+").alias("p"))
+            .select(
+                F.element_at("p", 1).alias("word"),
+                F.element_at("p", 2).cast("double").alias("w"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown weights format: {fmt!r}")
+    bias_rows = w.where(F.col("word") == "__bias__").select("w").collect()
+    bias = float(bias_rows[0]["w"]) if bias_rows else 0.0
+    return w.where(F.col("word") != "__bias__"), bias
+
+
 def domain_rollup(
     df: DataFrame,
     key_col: str = "source",

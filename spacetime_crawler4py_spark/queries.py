@@ -2617,6 +2617,87 @@ def quality_hashlin_scores(spark, sf_dir):
 
 
 @_q(
+    "quality_linear_weighted_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                   '\s+'),
+                    w -> w <> '')) AS word
+      FROM documents
+    ), vocab AS (
+      SELECT word,
+             ('0x' || substr(md5('lw:' || word), 1, 15))::BIGINT
+               / 1152921504606846976.0 * 2.0 - 1.0 AS w
+      FROM (SELECT word, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY word)
+      WHERE df >= 5
+    ), per AS (
+      SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+             AVG(COALESCE(v.w, 0.0)) AS m
+      FROM toks t LEFT JOIN vocab v USING (word)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+           CASE WHEN p.doc_id IS NOT NULL THEN
+             ROUND(1.0::DOUBLE / (1.0::DOUBLE
+                   + exp(-(0.25::DOUBLE + p.m))), 4)
+           ELSE NULL END AS score
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def quality_linear_weighted(spark, sf_dir):
+    """The weights-JOIN deployment path of hash_linear_score
+    (operators/quality.py): an explicit (word, w) vocabulary —
+    here the corpus's df≥5 words with md5-derived weights, so the
+    oracle can rebuild it — broadcast-joined against the exploded
+    tokens, OOV scoring neutral, bias!=0.  This is the row a real
+    fasttext-style model drops into via load_linear_weights;
+    quality_hashlin_scores stays the no-shuffle hash-default twin."""
+    from spacetime_crawler4py_spark.functions.text_quality import (
+        tokens_ws,
+    )
+    from spacetime_crawler4py_spark.operators.quality import (
+        hash_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.coalesce(
+                tokens_ws(F.col("text")), F.array().cast("array<string>")
+            )
+        ).alias("word"),
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 5)
+        .select(
+            "word",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("lw:"), F.col("word"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(1152921504606846976.0)
+                * F.lit(2.0)
+                - F.lit(1.0)
+            ).alias("w"),
+        )
+    )
+    out = hash_linear_score(d, weights=vocab, bias=0.25)
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 4).alias("score")
+    )
+
+
+@_q(
     "clean_ppl_buckets",
     r"""
     WITH toks AS (

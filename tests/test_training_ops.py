@@ -1187,6 +1187,53 @@ def test_hash_linear_score_paths_agree(spark):
     assert abs(j2[1]["score"] - want) < 1e-12
 
 
+def test_load_linear_weights_file_paths(spark, tmp_path):
+    """load_linear_weights reads a fasttext-dump text file (comments,
+    blanks, __bias__ row) and a parquet vocabulary; the loaded table
+    drives hash_linear_score's join path and DISAGREES with the hash
+    defaults (it is a real model drop-in, not a re-derivation)."""
+    import math
+
+    from spacetime_crawler4py_spark.operators.quality import (
+        hash_linear_score,
+        load_linear_weights,
+    )
+
+    txt = tmp_path / "model.vocab"
+    txt.write_text(
+        "# fasttext-style dump\n"
+        "alpha 2.0\n"
+        "beta\t-1.0   # inline comment\n"
+        "\n"
+        "__bias__ 0.5\n"
+    )
+    w, bias = load_linear_weights(spark, str(txt))
+    assert bias == 0.5
+    assert dict(w.collect()) == {"alpha": 2.0, "beta": -1.0}
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta oov"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in hash_linear_score(d, weights=w, bias=bias).collect()
+    }
+    want = 1.0 / (1.0 + math.exp(-(0.5 + (2.0 - 1.0 + 0.0) / 3.0)))
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["score"] - want) < 1e-12
+    assert got[2]["n_tokens"] == 0 and got[2]["score"] is None
+    # trained weights shift the answer away from the hash default
+    dflt = {r["doc_id"]: r for r in hash_linear_score(d).collect()}
+    assert abs(dflt[1]["score"] - got[1]["score"]) > 1e-6
+
+    # parquet round of the same vocabulary (no bias row in parquet)
+    pq = str(tmp_path / "vocab.parquet")
+    w.write.parquet(pq)
+    w2, b2 = load_linear_weights(spark, pq)
+    assert b2 == 0.0
+    assert dict(w2.collect()) == {"alpha": 2.0, "beta": -1.0}
+
+
 def test_semdedup_vs_numpy(spark, emb):
     """semdedup (Abbas et al. 2023 semantics): numpy twin replays
     assign → rank-by-centroid-distance → earlier-neighbor drop from
