@@ -17,6 +17,10 @@ web corpus:
   spectral selection + successive approximation, EOB runs, the
   Annex-G refinement algorithm).
 - audio: RIFF/WAVE PCM via the stdlib ``wave`` module (8/16-bit).
+- video: concatenated-BMP frame dumps AND MJPEG-in-AVI — a real
+  RIFF/AVI container (hdrl/movi/idx1 chunk grammar) whose '00dc'
+  chunks are the baseline-JPEG codec's frames; frame_spans gives
+  both containers one seek API.
 
 ``encode_bmp``/``encode_png``/``encode_jpeg``/``encode_wav``
 produce those formats so fixtures and the synthetic media
@@ -1518,8 +1522,13 @@ def featurize(
             return _fake_features(raw, dim)
         if kind == "audio":
             return audio_features(decode_audio(raw), dim)
-        # image, or a video whose payload is a raw frame dump (BMP):
-        # real video containers need codecs this environment lacks.
+        if kind == "video":
+            # both REAL containers (concatenated-BMP dump, MJPEG-AVI)
+            # seek via frame_spans; featurize the first frame
+            spans = frame_spans(raw)
+            if spans:
+                s, e = spans[0]
+                return image_features(decode_image(raw[s:e]), dim)
         return image_features(decode_image(raw), dim)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1564,9 +1573,10 @@ def synth_media(
     """Deterministic synthetic media table for tests/bench.
 
     ``real=True`` emits genuinely decodable payloads (24-bpp BMP /
-    PNG / baseline-JPEG images, PCM WAV audio, BMP frame dumps for
-    video) so the non-fake featurize path runs end-to-end; default
-    is opaque random bytes for plumbing-only tests.
+    PNG / baseline-JPEG images, PCM WAV audio, and videos rotating
+    between BMP frame dumps and MJPEG-AVI containers) so the
+    non-fake featurize path runs end-to-end; default is opaque
+    random bytes for plumbing-only tests.
     """
     import random
 
@@ -1583,10 +1593,15 @@ def synth_media(
             elif kind == "video":
                 w, h = rng.randint(4, 16), rng.randint(4, 16)
                 n_frames = rng.randint(2, 6)
-                raw = encode_frames([
+                vid_frames = [
                     nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                     for _ in range(n_frames)
-                ])
+                ]
+                # rotate video containers: raw BMP dump / MJPEG-AVI
+                if (i // 3) % 2:
+                    raw = encode_avi_mjpeg(vid_frames, fps=10)
+                else:
+                    raw = encode_frames(vid_frames)
             else:
                 w, h = rng.randint(4, 24), rng.randint(4, 24)
                 img = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -1615,7 +1630,11 @@ def synth_media(
                     else "image/bmp"
                 ),
                 "audio": "audio/wav",
-                "video": "video/x-raw-frame",
+                "video": (
+                    "video/x-msvideo"
+                    if raw[:4] == b"RIFF"
+                    else "video/x-raw-frame"
+                ),
             }[kind]
         else:
             raw = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
@@ -1641,6 +1660,114 @@ def synth_media(
 
 
 # ------------------------------------------------ video frame stream
+#
+# Two REAL container formats, one seek API (frame_spans):
+# - concatenated-BMP dumps (each BMP self-describes its length), and
+# - MJPEG-in-AVI: a RIFF/AVI file whose '00dc' movi chunks are
+#   baseline JFIF frames from encode_jpeg — the classic motion-JPEG
+#   layout (public msdn "AVI RIFF File Reference" chunk grammar),
+#   parsed with a plain RIFF walk; no codec library involved.
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    quality: int = 90,
+    subsample: str = "444",
+) -> bytes:
+    """List of HxWx3 uint8 frames → MJPEG-in-AVI bytes (RIFF 'AVI '
+    with hdrl/avih + strl/strh('vids'/'MJPG') + strf(BITMAPINFOHEADER,
+    biCompression='MJPG'), a movi list of '00dc' JFIF chunks, and an
+    idx1 keyframe index — every MJPEG frame is independently coded,
+    so every idx1 entry carries AVIIF_KEYFRAME).  Pure stdlib on top
+    of encode_jpeg."""
+    import struct
+
+    assert frames, "AVI needs at least one frame"
+    h, w = frames[0].shape[:2]
+    payloads = [
+        encode_jpeg(f, quality=quality, subsample=subsample)
+        for f in frames
+    ]
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        return ckid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags = AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        max(fps, 1),  # dwRate (frames/sec = rate/scale)
+        0,  # dwStart
+        len(frames),  # dwLength
+        max_bytes,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (-1 = default)
+        0,  # dwSampleSize (0: variable-size samples)
+        0,
+        0,
+        w,
+        h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        h,
+        1,
+        24,
+        int.from_bytes(b"MJPG", "little"),  # biCompression fourcc
+        max_bytes,
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    idx_entries = []
+    for p in payloads:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_body), len(p)))
+        movi_body += chunk(b"00dc", p)
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, ln)  # AVIIF_KEYFRAME
+            for off, ln in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_frames(frames: list[np.ndarray]) -> bytes:
@@ -1650,30 +1777,70 @@ def encode_frames(frames: list[np.ndarray]) -> bytes:
     return b"".join(encode_bmp(f) for f in frames)
 
 
-def frame_offsets(raw: bytes) -> list[int]:
-    """Byte offsets of each BMP frame in a concatenated-BMP payload."""
+def frame_spans(raw: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte spans of each frame payload in a video
+    container — the one seek API both the concatenated-BMP dump and
+    the MJPEG-AVI container satisfy, so every frame consumer
+    (decode_frame / keyframes / featurize_frames) dispatches on the
+    leading bytes and never walks the container twice.
+
+    AVI: a RIFF chunk walk (LIST recursion into movi / 'rec '
+    groups) collecting the compressed ('..dc') and uncompressed
+    ('..db') video chunk payloads in stream order — size fields are
+    clamped to the buffer so truncated files yield the frames that
+    fit rather than out-of-range spans."""
     import struct
 
-    offs = []
+    spans: list[tuple[int, int]] = []
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+
+        def walk(pos: int, end: int, in_movi: bool) -> None:
+            while pos + 8 <= end:
+                ckid = raw[pos : pos + 4]
+                size = struct.unpack_from("<I", raw, pos + 4)[0]
+                body = pos + 8
+                data_end = min(body + size, end, len(raw))
+                if ckid == b"LIST" and data_end - body >= 4:
+                    ltype = raw[body : body + 4]
+                    walk(
+                        body + 4,
+                        data_end,
+                        in_movi or ltype in (b"movi", b"rec "),
+                    )
+                elif in_movi and ckid[2:4] in (b"dc", b"db"):
+                    if body + size <= len(raw):  # complete frames only
+                        spans.append((body, data_end))
+                pos = body + size + (size & 1)
+
+        riff_end = min(8 + struct.unpack_from("<I", raw, 4)[0], len(raw))
+        walk(12, riff_end, False)
+        return spans
     pos = 0
     while pos + 6 <= len(raw) and raw[pos : pos + 2] == b"BM":
-        offs.append(pos)
         size = struct.unpack_from("<I", raw, pos + 2)[0]
         if size <= 0:
             break
+        spans.append((pos, min(pos + size, len(raw))))
         pos += size
-    return offs
+    return spans
+
+
+def frame_offsets(raw: bytes) -> list[int]:
+    """Byte offsets of each frame in a video payload (concatenated
+    BMP or MJPEG-AVI) — the starts of frame_spans."""
+    return [s for s, _ in frame_spans(raw)]
 
 
 def decode_frame(raw: bytes, idx: int, fake: bool = False) -> np.ndarray:
-    """Decode frame ``idx`` of a concatenated-BMP video payload
-    (clamped to the last frame, mirroring how a sampler past EOF
-    holds the final frame)."""
-    offs = frame_offsets(raw)
-    if not offs:
+    """Decode frame ``idx`` of a video payload (concatenated-BMP or
+    MJPEG-AVI; clamped to the last frame, mirroring how a sampler
+    past EOF holds the final frame)."""
+    spans = frame_spans(raw)
+    if not spans:
         return decode_image(raw, fake=fake)
-    idx = max(0, min(idx, len(offs) - 1))
-    return decode_image(raw[offs[idx] :], fake=fake)
+    idx = max(0, min(idx, len(spans) - 1))
+    s, e = spans[idx]
+    return decode_image(raw[s:e], fake=fake)
 
 
 def featurize_frames(
@@ -1727,8 +1894,20 @@ def featurize_frames(
                 pdf[id_col], pdf[media_col], pdf["_ts_list"]
             ):
                 raw = bytes(raw)
+                spans = frame_spans(raw)  # one container walk per video
                 for ts in sorted(ts_list):
-                    img = decode_frame(raw, int(ts) // frame_interval_ms)
+                    if spans:
+                        fi = max(
+                            0,
+                            min(
+                                int(ts) // frame_interval_ms,
+                                len(spans) - 1,
+                            ),
+                        )
+                        s, e = spans[fi]
+                        img = decode_image(raw[s:e])
+                    else:
+                        img = decode_image(raw)
                     ids.append(mid)
                     tss.append(int(ts))
                     feats.append(image_features(img, dim))
@@ -1788,10 +1967,10 @@ def keyframes(
             ids, idxs, totals, diffs, feats = [], [], [], [], []
             for mid, raw in zip(pdf[id_col], pdf[media_col]):
                 raw = bytes(raw)
-                offs = frame_offsets(raw)
+                spans = frame_spans(raw)
                 last = None
-                for fi in range(len(offs)):
-                    img = decode_frame(raw, fi)
+                for fi, (s, e) in enumerate(spans):
+                    img = decode_image(raw[s:e])
                     if last is None:
                         d = 1.0
                     else:
@@ -1808,7 +1987,7 @@ def keyframes(
                     if d >= thr:
                         ids.append(mid)
                         idxs.append(fi)
-                        totals.append(len(offs))
+                        totals.append(len(spans))
                         diffs.append(d)
                         feats.append(image_features(img, dim))
                         last = img

@@ -501,6 +501,93 @@ def test_video_frame_stream_real(spark):
     assert len(rows) == plan_n
 
 
+def test_avi_mjpeg_container_roundtrip(spark):
+    """MJPEG-in-AVI: encode_avi_mjpeg emits a well-formed RIFF/AVI
+    (hdrl + movi + idx1) whose '00dc' chunks decode through the JPEG
+    codec; frame_spans/decode_frame give it the same seek API as the
+    BMP dump; keyframes and featurize dispatch on the RIFF signature;
+    truncated files degrade to the frames that fit."""
+    import struct
+
+    rng = np.random.default_rng(11)
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = np.clip(
+        np.stack([xx * 6, yy * 9, xx * 3 + yy * 4], axis=-1), 0, 255
+    ).astype(np.uint8)
+    frames = [smooth, 255 - smooth, np.roll(smooth, 5, axis=1)]
+    raw = M.encode_avi_mjpeg(frames, fps=5, quality=95)
+
+    # container grammar: RIFF/'AVI ', declared size, idx1 present
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    assert struct.unpack_from("<I", raw, 4)[0] + 8 == len(raw)
+    assert b"MJPG" in raw and b"idx1" in raw
+
+    spans = M.frame_spans(raw)
+    assert len(spans) == 3 == len(M.frame_offsets(raw))
+    for i, f in enumerate(frames):
+        s, e = spans[i]
+        assert raw[s : s + 2] == b"\xff\xd8"  # each chunk is a JFIF
+        got = M.decode_frame(raw, i)
+        assert got.shape == f.shape
+        err = np.abs(got.astype(int) - f.astype(int)).mean()
+        assert err < 3.0, (i, err)  # JPEG lossy: bounded error
+    # idx1 offsets agree with the walked spans (offset is relative
+    # to the 'movi' fourcc; +8 skips the chunk header to the payload)
+    movi = raw.index(b"movi")
+    idx = raw.index(b"idx1") + 8
+    for i, (s, _) in enumerate(spans):
+        off, ln = struct.unpack_from("<II", raw, idx + 16 * i + 8)
+        assert movi + off + 8 == s
+        assert ln == spans[i][1] - s
+    # clamp past EOF holds the last frame
+    assert np.array_equal(M.decode_frame(raw, 99), M.decode_frame(raw, 2))
+    # truncation mid-frame: only the complete frames before the cut
+    assert len(M.frame_spans(raw[: spans[2][0] + 4])) == 2
+
+    # keyframes on an AVI: two identical smooth frames then a hard
+    # cut — frame 0 and the cut survive, the near-dup is dropped
+    clip = M.encode_avi_mjpeg([smooth, smooth, 255 - smooth], quality=95)
+    df = spark.createDataFrame(
+        [(0, bytearray(clip))], "media_id long, media binary"
+    )
+    kept = sorted(
+        (r["frame_idx"], r["n_frames"])
+        for r in M.keyframes(df, threshold=0.08, dim=8).collect()
+    )
+    assert kept == [(0, 3), (2, 3)]
+
+    # featurize(fake=False) routes video kind through frame_spans:
+    # AVI features == first frame's local decode
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(raw), ("video/x-msvideo", 24, 16, 3000, len(raw)))],
+        M.synth_media(spark, n=1).schema,
+    )
+    row = M.featurize(media, dim=8, fake=False).collect()[0]
+    exp = M.image_features(M.decode_frame(raw, 0), 8)
+    assert np.allclose(row["features"], exp, atol=1e-5)
+
+
+def test_synth_media_rotates_video_containers(spark):
+    """synth_media(real=True) emits BOTH video containers; the full
+    real featurize_frames path decodes each sampled frame from
+    whichever container the row carries."""
+    media = M.synth_media(spark, n=24, seed=21, real=True)
+    vids = {
+        r["media_id"]: bytes(r["media"])
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    sigs = {v[:4] == b"RIFF" for v in vids.values()}
+    assert sigs == {True, False}, "both containers must appear"
+    out = M.featurize_frames(media, every_ms=1000, dim=8).collect()
+    plan_n = M.frame_sample_plan(media, every_ms=1000).count()
+    assert len(out) == plan_n
+    r0 = next(r for r in out if vids[r["media_id"]][:4] == b"RIFF")
+    exp = M.image_features(
+        M.decode_frame(vids[r0["media_id"]], r0["frame_ts_ms"] // 1000), 8
+    )
+    assert np.allclose(r0["features"], exp, atol=1e-6)
+
+
 def test_png_roundtrip_all_filters():
     """encode_png(filter_type=f) → decode_image must reproduce the
     source pixels for every PNG filter type (0=None 1=Sub 2=Up
