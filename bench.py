@@ -41,6 +41,11 @@ HEADLINE = [
     "semdedup_kept",
     "ann_pq_adc_top10",
     "ann_ivf_pq_top10",
+    # round 5: written-index IVFADC serving (build+write+pruned-scan
+    # serve, cold) and the weights-join deployment path of the
+    # linear quality scorer
+    "ann_ivf_pq_index_top10",
+    "quality_linear_weighted_scores",
     "corpus_build_domain_counts",
 ]
 
