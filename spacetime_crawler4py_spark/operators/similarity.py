@@ -960,6 +960,11 @@ def write_ivf_pq_index(
     spark = codes.sparkSession
     (
         codes.select(F.col(id_col), "cid", *[f"code_{j}" for j in range(m)])
+        # cluster each inverted list before the partitioned write:
+        # without this every shuffle task spills a file into every
+        # cid directory (tasks×cells small files); with it each cell
+        # is one contiguous list (AQE re-splits oversized cells)
+        .repartition(F.col("cid"))
         .write.partitionBy("cid")
         .mode("overwrite")
         .parquet(f"{path}/codes")
