@@ -46,6 +46,8 @@ HEADLINE = [
     # linear quality scorer
     "ann_ivf_pq_index_top10",
     "quality_linear_weighted_scores",
+    # round 5: winnowing fingerprint selection + MOSS match join
+    "dedup_winnow_pairs",
     "corpus_build_domain_counts",
 ]
 

@@ -797,3 +797,133 @@ def dedup_representatives(
         return df.join(kept_ids, id_col, "inner").unionByName(non_members)
 
     raise ValueError(f"unknown mode {mode!r}")
+
+
+# --------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm), word
+    k-gram variant: the ORDERED sequence of k-gram hashes h_1..h_m is
+    scanned with a window of ``w`` consecutive hashes, each window
+    contributes its minimum, and the fingerprint set is the distinct
+    window minima.
+
+    The paper's guarantee carries over: any run of ``w + k - 1``
+    words shared by two documents selects at least one common
+    fingerprint, so matching is recall-complete for runs of that
+    length while keeping ~2/(w+1) of all gram hashes.  The selected
+    SET is tie-break-independent (equal minima pick the same value),
+    so no positional tie rule is needed for set semantics and
+    positions are deliberately not emitted — at 100 TB the
+    fingerprint table is (doc, 8-byte hash) rows, nothing else.
+
+    Entirely JVM-side (split / transform / slice / array_min): one
+    narrow projection per document, no Python crossing, no shuffle —
+    consumers (``winnow_pairs``, per-corpus stats) pay the only
+    exchange.  Boundary treatment: docs with < k words yield the
+    empty set; docs with ≥ 1 gram but < w windows yield the global
+    minimum (one fingerprint), so every fingerprintable doc gets
+    at least one.
+
+    Returns (id_col, fingerprints array<long> sorted ascending).
+    Gram hash = top-60-bit md5 (``shingle_key60``), cross-engine
+    reproducible for the DuckDB oracle.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    ng = F.size(words) - F.lit(k - 1)
+    grams = F.when(
+        ng > 0,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: shingle_key60(F.concat_ws(" ", F.slice(words, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_g = df.select(F.col(id_col), grams.alias("_g"))
+    m = F.size(F.col("_g"))
+    nw = m - F.lit(w - 1)
+    fps = (
+        F.when(
+            nw > 0,
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(F.col("_g"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return with_g.select(
+        id_col, F.array_sort(F.array_distinct(fps)).alias("fingerprints")
+    )
+
+
+def winnow_hot_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Audit twin of ``winnow_pairs``' hot-fingerprint guard: the
+    (fp, df) rows candidate generation DROPS under ``max_df`` —
+    run alongside a capped pair job so the cap is never silent."""
+    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    )
+    return (
+        fp.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared) for document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS match step as
+    an equi-join on the 8-byte fingerprint (never an O(n²) cross).
+
+    Same skew discipline as ``ngram_jaccard_pairs``: fingerprints
+    appearing in more than ``max_df`` docs (boilerplate runs — the
+    dominant web-corpus pathology) are dropped from candidate
+    generation; the cap is a parameter, the active value is logged,
+    and ``winnow_hot_fingerprints(...)`` returns exactly the dropped
+    (fp, df) rows for audit.
+    """
+    from spacetime_crawler4py_spark.operators.ids import (
+        ensure_min_partitions,
+        scratch_cache,
+    )
+
+    fp = scratch_cache(
+        winnow_fingerprints(
+            ensure_min_partitions(df), text_col, id_col, k, w
+        ).select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    )
+    log.info("winnow_pairs: hot-fingerprint cap max_df=%d active", max_df)
+    rare = fp.join(
+        fp.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "fp",
+    )
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

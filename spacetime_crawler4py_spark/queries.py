@@ -3768,3 +3768,155 @@ def _finalize() -> None:
 
 
 _finalize()
+
+
+# =====================================================================
+# Winnowing fingerprints (Schleimer et al. 2003) + anchor-text
+# aggregation — round-5 additions
+# =====================================================================
+
+# shared DuckDB fragment: ordered 4-gram 60-bit hashes, then w=5
+# window minima (list_aggregate 'min' over 1-based list_slice —
+# same 1-based slice semantics as Spark's slice())
+_WINNOW_FPS_SQL = """
+    ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), g_t AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 3), ' ')), 1, 15))::BIGINT
+             ) AS hs
+      FROM ws_t
+    ), f_t AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5 THEN
+                    list_transform(range(1, len(hs) - 4 + 1),
+                      j -> list_aggregate(list_slice(hs, j, j + 4), 'min'))
+                  WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+                  ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM g_t
+    )
+"""
+
+
+@_q(
+    "fp_winnowing",
+    f"""
+    WITH {_WINNOW_FPS_SQL}
+    SELECT doc_id,
+           CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+           md5(COALESCE(array_to_string(list_sort(list_distinct(fps)), ','), '')) AS fp_md5
+    FROM f_t
+    """,
+)
+def fp_winnowing(spark, sf_dir):
+    """Winnowing fingerprints per document (k=4 word-grams, w=5
+    windows) — the MOSS selection, whole set md5'd per doc so the
+    oracle pins every selected hash, not just counts."""
+    from spacetime_crawler4py_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, k=4, w=5)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(F.transform("fingerprints", lambda x: x.cast("string")), ",")
+        ).alias("fp_md5"),
+    )
+
+
+@_q(
+    "dedup_winnow_pairs",
+    f"""
+    WITH {_WINNOW_FPS_SQL}, fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(fps)) AS fp FROM f_t
+    ), rare AS (
+      SELECT f.id, f.fp FROM fp f
+      JOIN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 1000) r USING (fp)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """MOSS match step: pairs sharing ≥2 winnowing fingerprints via
+    the 8-byte fingerprint equi-join (hot-fp capped, never a cross)."""
+    from spacetime_crawler4py_spark.operators.dedup import winnow_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_pairs(d, k=4, w=5, min_shared=2, max_df=1000)
+
+
+@_q(
+    "anchor_texts_top",
+    """
+    WITH a AS (
+      SELECT '/doc/' || CAST((doc_id * 7 + k) % 997 AS VARCHAR(30)) AS href,
+             'ref ' || CAST((doc_id + k) % 97 AS VARCHAR(30)) AS atext
+      FROM documents, unnest([1, 2, 3]) AS t(k)
+      UNION ALL
+      SELECT '/tail/' || CAST(doc_id % 13 AS VARCHAR(30)),
+             'tail ' || CAST(doc_id % 5 AS VARCHAR(30))
+      FROM documents
+    )
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+           md5(COALESCE(array_to_string(list_sort(list(atext)), '|'), '')) AS texts_md5
+    FROM a
+    GROUP BY href
+    """,
+)
+def anchor_texts_top(spark, sf_dir):
+    """Target-side anchor-text aggregation ("anchor text as
+    queries") through the REAL single-pass HTML parser: pages are
+    synthesized deterministically (3 inline-nested anchors + one
+    anchor left unclosed at EOF per doc), extract_anchors walks the
+    DOM once per page, and the oracle replays the synthesis formula
+    directly — the first hash-pinned row over the parse path (P5's
+    document-order test pins order; this pins href AND inner text,
+    including <b>-nested and EOF-flushed anchors).
+    """
+    from spacetime_crawler4py_spark.operators.parse import extract_anchors
+
+    d = _t(spark, sf_dir, "documents")
+    link = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda kk: F.concat(
+                F.lit('<a href="/doc/'),
+                ((F.col("doc_id") * 7 + kk) % 997).cast("string"),
+                F.lit('">ref <b>'),
+                ((F.col("doc_id") + kk) % 97).cast("string"),
+                F.lit("</b></a> and "),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro "),
+        F.col("doc_id").cast("string"),
+        F.lit("</p>"),
+        link,
+        F.lit('<a href="/tail/'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('">tail '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    ex = (
+        extract_anchors(pages)
+        .select(F.explode("anchors").alias("a"))
+        .select(F.col("a.href").alias("href"), F.col("a.text").alias("atext"))
+    )
+    return ex.groupBy("href").agg(
+        F.count("*").alias("n_inlinks"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("atext")), "|")).alias(
+            "texts_md5"
+        ),
+    )

@@ -99,3 +99,30 @@ def test_corpus_structure():
         "https://www.informatics.uci.edu",
         "https://www.stat.uci.edu",
     ]
+
+
+def test_extract_anchors_nested_unclosed_hrefless(spark):
+    from spacetime_crawler4py_spark.operators.parse import extract_anchors
+
+    html = (
+        '<html><body>'
+        '<a href="/x">plain</a>'
+        '<a href="/y">ref <b>bold</b> tail</a>'
+        "<a>no href here</a>"
+        '<a href="/z">unclosed at eof'
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None)], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r["anchors"] for r in extract_anchors(df).collect()}
+    assert rows[2] is None
+    got = [(a["href"], a["text"]) for a in rows[1]]
+    assert got == [
+        ("/x", "plain"),
+        ("/y", "ref bold tail"),  # nested <b> text folded in
+        (None, "no href here"),  # hrefless anchor kept, href null
+        ("/z", "unclosed at eof"),  # flushed by the </body> pop
+    ]
+    # html column dropped by default
+    assert "html" not in extract_anchors(df).columns

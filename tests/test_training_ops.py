@@ -1520,3 +1520,84 @@ def test_ngram_max_df_param_and_audit(spark):
     hot = D.ngram_hot_shingles(df, max_df=5).collect()
     assert len(hot) == 1 and hot[0]["df"] == 6
     assert D.ngram_hot_shingles(df, max_df=6).collect() == []
+
+
+# --------------------------------------------------------- winnowing
+
+
+def _brute_winnow(text, k=4, w=5):
+    """Independent reference winnowing (Schleimer 2003): ordered
+    k-gram 60-bit md5 hashes, distinct minima of every w-window."""
+    import hashlib
+    import re as _re
+
+    words = [x for x in _re.split(r"\s+", text.lower()) if x]
+    grams = [
+        int(hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(words) - k + 1)
+    ]
+    if not grams:
+        return set()
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+WINNOW_TEXTS = [
+    (0, "a b c"),  # < k words -> empty set
+    (1, "a b c d"),  # exactly one gram -> one fingerprint
+    (2, "a b c d e f g"),  # grams < w -> global min only
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow"),
+    (4, "  leading   whitespace and\tmixed separators make empty tokens drop out cleanly here  "),
+    (5, None),
+    (6, ""),
+]
+
+
+def test_winnow_fingerprints_vs_brute(spark):
+    df = spark.createDataFrame(WINNOW_TEXTS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in D.winnow_fingerprints(df, k=4, w=5).collect()
+    }
+    for doc_id, text in WINNOW_TEXTS:
+        expect = _brute_winnow(text or "", 4, 5)
+        assert got[doc_id] == expect, doc_id
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # paper Thm: a shared run of w+k-1 words selects >= 1 common
+    # fingerprint. k=4, w=5 -> any shared 8-word run suffices.
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (0, "one two three four five " + run + " six seven eight nine ten"),
+        (1, "uno dos tres cuatro cinco " + run + " seis siete ocho nueve diez"),
+        (2, "totally unrelated words everywhere nothing shared at all between these docs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in D.winnow_fingerprints(df, k=4, w=5).collect()
+    }
+    assert fps[0] & fps[1], "shared 8-word run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.winnow_pairs(df, k=4, w=5, min_shared=1).collect()
+    }
+    assert pairs == {(0, 1)}
+
+
+def test_winnow_pairs_hot_cap_accounting(spark):
+    # degenerate all-identical cluster: every fingerprint is hot.
+    rows = [(i, "the same boilerplate sentence repeated on every single page here") for i in range(8)]
+    rows.append((100, "a genuinely different document with its own words and phrasing style"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the cluster size: candidate generation drops the hot
+    # fps -> no pairs, and the audit twin accounts for every drop
+    assert D.winnow_pairs(df, max_df=4, min_shared=1).count() == 0
+    dropped = D.winnow_hot_fingerprints(df, max_df=4).collect()
+    assert dropped and all(r["df"] == 8 for r in dropped)
+    # cap above it: the full c*(c-1)/2 pair set appears
+    n = D.winnow_pairs(df, max_df=100, min_shared=1).count()
+    assert n == 8 * 7 // 2
