@@ -87,6 +87,16 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet"), k=16
         ),
     )
+    from spacetime_crawler4py_spark.operators.dedup import winnow_fingerprints
+
+    audit(
+        "winnowing fingerprints (MOSS selection)",
+        "Wants: ONE narrow whole-stage Project chain over the scan — "
+        "gram hashing and window minima are per-row array ops, no "
+        "Python crossing, no shuffle (the pair join downstream pays "
+        "the only exchange, on 8-byte fingerprints).",
+        winnow_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet")),
+    )
 
     from spacetime_crawler4py_spark.operators.similarity import (
         pq_adc_topk,
