@@ -865,6 +865,28 @@ def winnow_fingerprints(
     )
 
 
+def _winnow_fp_rows(fps: DataFrame, id_col: str) -> DataFrame:
+    """Explode (id, fingerprints[]) to (id, fp) rows WITHOUT letting
+    the optimizer re-derive the array.
+
+    A plain ``explode`` makes InferFiltersFromGenerate add a
+    ``size(fingerprints) > 0`` filter that predicate-pushdown then
+    inlines BELOW the projections — the filter re-evaluates the whole
+    fingerprint expression, and because the window-min transform
+    references the gram array per element, inlining turns the
+    per-document cost from O(grams + windows) into
+    O(windows x grams) md5 re-evaluations (measured ~50 ms/doc —
+    a 250 s sf0.1 stage for an 82k-row result).  ``explode_outer``
+    generates no such inferred filter; the null rows (empty sets)
+    are dropped AFTER the Generate on the produced column, which is
+    cheap and cannot be pushed through it.
+    """
+    return (
+        fps.select(F.col(id_col).alias("id"), F.explode_outer("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+
+
 def winnow_hot_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -876,9 +898,7 @@ def winnow_hot_fingerprints(
     """Audit twin of ``winnow_pairs``' hot-fingerprint guard: the
     (fp, df) rows candidate generation DROPS under ``max_df`` —
     run alongside a capped pair job so the cap is never silent."""
-    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
-    )
+    fp = _winnow_fp_rows(winnow_fingerprints(df, text_col, id_col, k, w), id_col)
     return (
         fp.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
     )
@@ -910,9 +930,10 @@ def winnow_pairs(
     )
 
     fp = scratch_cache(
-        winnow_fingerprints(
-            ensure_min_partitions(df), text_col, id_col, k, w
-        ).select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+        _winnow_fp_rows(
+            winnow_fingerprints(ensure_min_partitions(df), text_col, id_col, k, w),
+            id_col,
+        )
     )
     log.info("winnow_pairs: hot-fingerprint cap max_df=%d active", max_df)
     rare = fp.join(

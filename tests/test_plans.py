@@ -500,3 +500,28 @@ def test_ivf_pq_written_index_partition_prunes(spark, tmp_path):
         assign="join", method="join",
     )
     assert [tuple(r) for r in served.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_winnow_explode_does_not_rederive_fingerprints(spark):
+    """Regression: a plain explode() over the computed fingerprint
+    array let InferFiltersFromGenerate push a size()>0 filter below
+    the projections, inlining the whole gram pipeline into every
+    window lambda — O(windows x grams) md5 re-evaluation, measured
+    ~50 ms/doc (a 250 s stage at sf0.1).  The fixed path
+    (explode_outer + post-Generate null filter) computes the gram
+    array exactly once per row: split() appears only the constant
+    per-row 3x of the gram project (words referenced in the size
+    guard, the sequence bound, and the slice lambda), never O(n)."""
+    from spacetime_crawler4py_spark.operators.dedup import (
+        _winnow_fp_rows,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    rows = _winnow_fp_rows(winnow_fingerprints(df), "doc_id")
+    plan = _plan(rows)
+    assert plan.count("split(") <= 4, plan.count("split(")
+    assert "isnotnull(fp" in plan
