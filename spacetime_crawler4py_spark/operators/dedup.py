@@ -369,6 +369,27 @@ def minhash_hot_buckets(
     )
 
 
+def _score_band_candidates(cand: DataFrame, threshold: float) -> DataFrame:
+    """Estimate Jaccard (fraction of agreeing minhash components)
+    and dedup candidate edges.  The est filter runs BEFORE the
+    (id_a, id_b) distinct, so the dedup exchange shuffles 24-byte
+    rows instead of two k-long signature arrays per candidate —
+    at web scale the candidate stream is the widest point of the
+    whole dedup pipeline, and scoring first collapses it to
+    (long, long, double) before it ever moves."""
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_cross_pairs(
     sigs_a: DataFrame,
     sigs_b: DataFrame,
@@ -392,21 +413,8 @@ def minhash_cross_pairs(
     ).select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
     )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    ) / F.size("sig_a")
-    return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    cand = a.join(b, ["band", "bkey"]).select("id_a", "id_b", "sig_a", "sig_b")
+    return _score_band_candidates(cand, threshold)
 
 
 def minhash_lsh_pairs(
@@ -444,18 +452,8 @@ def minhash_lsh_pairs(
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    ) / F.size("sig_a")
-    return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return _score_band_candidates(cand, threshold)
 
 
 def minhash_star_edges(
@@ -501,18 +499,8 @@ def minhash_star_edges(
             "sig_a",
             F.col("sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    ) / F.size("sig_a")
-    return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return _score_band_candidates(cand, threshold)
 
 
 def minhash_dedup(
