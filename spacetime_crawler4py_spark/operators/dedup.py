@@ -43,14 +43,36 @@ MERSENNE_P = (1 << 31) - 1
 # ------------------------------------------------------------- exact
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id doc per identical text (md5 group key).
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization (the "normalized exact" pre-hash step of
+    CCNet/Dolma-style pipelines): lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed — so case, punctuation and
+    formatting variants of the same document hash identically.
+
+    Cross-engine note: DuckDB's regexp_replace replaces only the
+    FIRST match unless passed the 'g' flag; Spark's is global by
+    default.  Every SQL oracle twin of this function must pass 'g'.
+    """
+    t = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Keep the lowest-id doc per identical text (md5 group key);
+    ``normalized=True`` hashes ``normalize_text`` output instead, so
+    case/punctuation/whitespace variants collapse to one copy.
 
     groupBy on the 128-bit hash, not the text itself — the shuffle
     moves 16-byte keys instead of documents.
     """
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
     reps = (
-        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col).alias("_id"))
+        df.select(F.md5(key).alias("_h"), F.col(id_col).alias("_id"))
         .groupBy("_h")
         .agg(F.min("_id").alias(id_col))
         .select(id_col)

@@ -3920,3 +3920,32 @@ def anchor_texts_top(spark, sf_dir):
             "texts_md5"
         ),
     )
+
+
+@_q(
+    "dedup_norm_exact",
+    r"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    GROUP BY md5(norm)
+    """,
+)
+def dedup_norm_exact(spark, sf_dir):
+    """Normalized-exact dedup groups (CCNet/Dolma pre-hash
+    normalization: lower, punct→space, whitespace collapse) —
+    representative id + multiplicity per normalized text.  NOTE the
+    oracle's 'g' flags: DuckDB regexp_replace is first-match-only by
+    default, Spark's is global."""
+    from spacetime_crawler4py_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(normalize_text(F.col("text"))).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )

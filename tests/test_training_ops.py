@@ -1601,3 +1601,18 @@ def test_winnow_pairs_hot_cap_accounting(spark):
     # cap above it: the full c*(c-1)/2 pair set appears
     n = D.winnow_pairs(df, max_df=100, min_shared=1).count()
     assert n == 8 * 7 // 2
+
+
+def test_normalized_exact_dedup(spark):
+    rows = [
+        (0, "Hello, World!  This is   a TEST."),
+        (1, "hello world this is a test"),       # same after normalization
+        (2, "hello world; this is a test?!"),    # same after normalization
+        (3, "hello world this is a different one"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df, normalized=True).collect())
+    assert kept == [0, 3, 4]
+    # non-normalized keeps all distinct raw texts
+    assert D.exact_dedup(df).count() == 5
